@@ -1,0 +1,149 @@
+"""Autograd checks: finite differences (like the reference test_grad.py) plus
+consistency with the dense-oracle gradients and the new position gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import torch_nfft_tpu as tn
+
+from helpers import make_points
+
+
+def _fd_grad(loss, x, eps=1e-3):
+    """Forward finite differences, mirroring the reference test_grad.py:36-46."""
+    base = loss(x)
+    g = np.zeros_like(x)
+    it = np.nditer(x, flags=["multi_index"])
+    while not it.finished:
+        idx = it.multi_index
+        xp = x.copy()
+        xp[idx] += eps
+        g[idx] = (loss(xp) - base) / eps
+        it.iternext()
+    return g
+
+
+def test_adjoint_grad_finite_differences(rng):
+    n, dim, b, c, N, m = 5, 2, 2, 3, 16, 3
+    pos, batch = make_points(rng, n, dim, batches=b)
+    x0 = rng.random((n * b, c), dtype=np.float32)
+
+    loss = lambda x: float(
+        jnp.abs(tn.nfft_adjoint(jnp.asarray(x), pos, batch, N, m)).sum()
+    )
+    dx = jax.grad(
+        lambda x: jnp.abs(tn.nfft_adjoint(x, pos, batch, N, m)).sum()
+    )(jnp.asarray(x0))
+    dx_fd = _fd_grad(loss, x0)
+    rel = np.abs(np.asarray(dx) - dx_fd).max() / np.abs(dx_fd).max()
+    assert rel < 5e-3
+
+
+def test_forward_grad_finite_differences(rng):
+    n, dim, b, c, N, m = 5, 2, 2, 2, 8, 3
+    pos, batch = make_points(rng, n, dim, batches=b)
+    x0 = rng.random((b,) + (N,) * dim + (c,), dtype=np.float32)
+
+    loss = lambda x: float(
+        jnp.abs(tn.nfft_forward(jnp.asarray(x), pos, batch, m)).sum()
+    )
+    dx = jax.grad(lambda x: jnp.abs(tn.nfft_forward(x, pos, batch, m)).sum())(
+        jnp.asarray(x0)
+    )
+    dx_fd = _fd_grad(loss, x0)
+    rel = np.abs(np.asarray(dx) - dx_fd).max() / np.abs(dx_fd).max()
+    assert rel < 5e-3
+
+
+def test_fastsum_grad_finite_differences(rng):
+    n, dim, b, c, N, m = 5, 2, 2, 3, 16, 3
+    pos, batch = make_points(rng, n, dim, batches=b)
+    x0 = rng.random((n * b, c), dtype=np.float32)
+    coeffs = tn.gaussian_interpolated_coeffs(0.2, dim, N)
+
+    loss = lambda x: float(
+        jnp.abs(tn.nfft_fastsum(jnp.asarray(x), coeffs, pos, batch=batch, cutoff=m)).sum()
+    )
+    dx = jax.grad(
+        lambda x: jnp.abs(tn.nfft_fastsum(x, coeffs, pos, batch=batch, cutoff=m)).sum()
+    )(jnp.asarray(x0))
+    dx_fd = _fd_grad(loss, x0)
+    rel = np.abs(np.asarray(dx) - dx_fd).max() / np.abs(dx_fd).max()
+    assert rel < 5e-3
+
+
+def test_adjoint_grad_matches_oracle_grad(rng):
+    """The x-gradient through the NFFT approximates the x-gradient through the
+    exact NDFT (same linear map up to NFFT error)."""
+    n, dim, N, m = 40, 2, 16, 6
+    pos, _ = make_points(rng, n, dim)
+    x0 = jnp.asarray(rng.random((n, 2), dtype=np.float32))
+    w = jnp.asarray(rng.random((1,) + (N,) * dim + (2,), dtype=np.float32))
+
+    loss_nfft = lambda x: jnp.sum(jnp.abs(tn.nfft_adjoint(x, pos, N=N, m=m)) ** 2 * w)
+    # Oracle loss: dense adjoint built from explicit Fourier matrix (jit-free).
+    grid = np.stack(
+        np.meshgrid(*([np.arange(-N // 2, N // 2)] * dim), indexing="ij"), -1
+    ).reshape(-1, dim)
+    F = jnp.asarray(np.exp(2j * np.pi * grid @ pos.T).astype(np.complex64))
+
+    def loss_ndft(x):
+        y = (F @ x.astype(jnp.complex64)).reshape((1,) + (N,) * dim + (2,))
+        return jnp.sum(jnp.abs(y) ** 2 * w)
+
+    g1 = jax.grad(loss_nfft)(x0)
+    g2 = jax.grad(loss_ndft)(x0)
+    assert np.abs(np.asarray(g1 - g2)).max() / np.abs(np.asarray(g2)).max() < 1e-3
+
+
+def test_position_gradients(rng):
+    """Extension over the reference (pos grads are None there, nfft.py:28):
+    gradients w.r.t. point positions flow through the window tabulation and
+    match finite differences of the NFFT output."""
+    n, dim, N, m = 6, 2, 16, 6
+    pos0, _ = make_points(rng, n, dim)
+    x = jnp.asarray(rng.random((n, 1), dtype=np.float32))
+
+    def loss(pos):
+        return jnp.sum(jnp.abs(tn.nfft_adjoint(x, pos, N=N, m=m)) ** 2)
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(pos0)))
+
+    eps = 2e-4
+    g_fd = np.zeros_like(pos0)
+    base = float(loss(jnp.asarray(pos0)))
+    for i in range(n):
+        for d in range(dim):
+            p = pos0.copy()
+            p[i, d] += eps
+            up = float(loss(jnp.asarray(p)))
+            p[i, d] -= 2 * eps
+            dn = float(loss(jnp.asarray(p)))
+            g_fd[i, d] = (up - dn) / (2 * eps)
+
+    rel = np.abs(g - g_fd).max() / np.abs(g_fd).max()
+    assert rel < 5e-2  # fp32 finite differences are noisy; grads must track
+
+
+def test_position_gradients_forward(rng):
+    n, dim, N, m = 6, 1, 16, 6
+    pos0, _ = make_points(rng, n, dim)
+    x = jnp.asarray(rng.random((1, N), dtype=np.float32))
+
+    def loss(pos):
+        return jnp.sum(jnp.abs(tn.nfft_forward(x, pos, cutoff=m)) ** 2)
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(pos0)))
+    eps = 2e-4
+    g_fd = np.zeros_like(pos0)
+    for i in range(n):
+        p = pos0.copy()
+        p[i, 0] += eps
+        up = float(loss(jnp.asarray(p)))
+        p[i, 0] -= 2 * eps
+        dn = float(loss(jnp.asarray(p)))
+        g_fd[i, 0] = (up - dn) / (2 * eps)
+    rel = np.abs(g - g_fd).max() / np.abs(g_fd).max()
+    assert rel < 5e-2

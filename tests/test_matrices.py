@@ -1,0 +1,135 @@
+"""GramMatrix / AdjacencyMatrix operator semantics, including the two
+reference bugs that are fixed here (SURVEY.md section 2.4)."""
+
+import numpy as np
+import pytest
+
+import torch_nfft_tpu as tn
+
+from helpers import make_points
+
+
+def _gram(rng, n=50, dim=2, targets=False):
+    pos, _ = make_points(rng, n, dim)
+    coeffs = tn.gaussian_analytic_coeffs(0.3, dim=dim, N=16)
+    if targets:
+        tgt, _ = make_points(rng, n // 2, dim)
+        return tn.GramMatrix(coeffs, pos, tgt, cutoff=4), pos, tgt
+    return tn.GramMatrix(coeffs, pos, cutoff=4), pos, pos
+
+
+def test_gram_symmetric_detection(rng):
+    sym, _, _ = _gram(rng)
+    assert sym.is_symmetric()
+    asym, _, _ = _gram(rng, targets=True)
+    # Fixed vs the reference: matrices.py:65 always returned True.
+    assert not asym.is_symmetric()
+
+
+def test_gram_transpose_roundtrip(rng):
+    mat, pos, tgt = _gram(rng, targets=True)
+    matT = mat.T
+    assert matT.shape == (mat.shape[1], mat.shape[0])
+    x = rng.random(mat.shape[1], dtype=np.float32)
+    y = np.asarray(mat @ x)
+    # <y0, M x> == <M^T y0, x> for real kernels
+    y0 = rng.random(mat.shape[0], dtype=np.float32)
+    lhs = float(y0 @ y)
+    rhs = float(np.asarray(matT @ y0) @ x)
+    assert abs(lhs - rhs) / abs(lhs) < 1e-4
+
+
+def test_gram_to_dense_matches_trigonometric(rng):
+    mat, pos, _ = _gram(rng)
+    A = np.asarray(mat.to_dense())
+    A_ref = np.asarray(tn.exact_trigonometric_matrix(mat.coeffs, pos).real)
+    assert np.abs(A - A_ref).max() < 1e-3
+
+
+def test_gram_row_and_column_sums(rng):
+    mat, _, _ = _gram(rng)
+    A = np.asarray(mat.to_dense())
+    np.testing.assert_allclose(np.asarray(mat.row_sums()), A.sum(1), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(mat.column_sums()), A.sum(0), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_adjacency_requires_symmetric(rng):
+    asym, _, _ = _gram(rng, targets=True)
+    with pytest.raises(ValueError):
+        tn.AdjacencyMatrix(asym)
+
+
+@pytest.mark.parametrize("normalization", [None, "sym", "left", "right", "rw"])
+def test_adjacency_normalizations(rng, normalization):
+    gram, pos, _ = _gram(rng)
+    adj = tn.AdjacencyMatrix(gram, diagonal_offset=1, normalization=normalization)
+    n = gram.shape[0]
+    x = rng.random(n, dtype=np.float32)
+    y = np.asarray(adj @ x)
+
+    A = np.asarray(gram.to_dense()) + np.eye(n)
+    deg = A.sum(1)
+    if normalization is None:
+        y_exp = A @ x
+    elif normalization == "sym":
+        d = 1 / np.sqrt(deg)
+        y_exp = d * (A @ (d * x))
+    elif normalization in ("left", "rw"):
+        y_exp = (A @ x) / deg
+    else:  # right
+        y_exp = A @ (x / deg)
+    assert np.abs(y - y_exp).max() / np.abs(y_exp).max() < 1e-3
+
+
+@pytest.mark.parametrize("shift", ["laplacian", "signless"])
+def test_adjacency_shifts(rng, shift):
+    """apply_shift worked for no input in the reference (NameError,
+    matrices.py:149); here both shifts are exercised."""
+    gram, pos, _ = _gram(rng)
+    adj = tn.AdjacencyMatrix(gram, normalization="sym", shift=shift)
+    n = gram.shape[0]
+    x = rng.random(n, dtype=np.float32)
+    y = np.asarray(adj @ x)
+
+    A = np.asarray(gram.to_dense())
+    deg = A.sum(1)
+    d = 1 / np.sqrt(deg)
+    norm_y = d * (A @ (d * x))
+    y_exp = x + norm_y if shift == "signless" else x - norm_y
+    assert np.abs(y - y_exp).max() / np.abs(y_exp).max() < 1e-3
+
+
+def test_adjacency_unnormalized_laplacian(rng):
+    gram, _, _ = _gram(rng)
+    adj = tn.AdjacencyMatrix(gram, shift="laplacian")
+    n = gram.shape[0]
+    x = rng.random(n, dtype=np.float32)
+    y = np.asarray(adj @ x)
+    A = np.asarray(gram.to_dense())
+    deg = A.sum(1)
+    y_exp = deg * x - A @ x
+    assert np.abs(y - y_exp).max() / np.abs(y_exp).max() < 1e-3
+
+
+def test_adjacency_degree_threshold_warning(rng):
+    pos, _ = make_points(rng, 30, 2)
+    coeffs = tn.gaussian_analytic_coeffs(0.3, dim=2, N=16)
+    gram = tn.GramMatrix(coeffs, pos, cutoff=4)
+    with pytest.warns(RuntimeWarning):
+        tn.AdjacencyMatrix(gram, normalization="sym", degree_threshold=1e9)
+
+
+def test_adjacency_transpose_left_right(rng):
+    gram, _, _ = _gram(rng)
+    adj = tn.AdjacencyMatrix(gram, normalization="left")
+    assert not adj.is_symmetric()
+    adjT = adj.T
+    assert adjT.normalization == "right"
+    n = gram.shape[0]
+    x = rng.random(n, dtype=np.float32)
+    y0 = rng.random(n, dtype=np.float32)
+    lhs = float(y0 @ np.asarray(adj @ x))
+    rhs = float(np.asarray(adjT @ y0) @ x)
+    assert abs(lhs - rhs) / abs(lhs) < 1e-4

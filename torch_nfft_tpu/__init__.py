@@ -1,0 +1,61 @@
+"""torch_nfft_tpu — a TPU-native batched NFFT framework in JAX.
+
+A from-scratch re-design of the capabilities of ``dominikbuenger/torch_nfft``
+(batched non-equispaced FFTs in 1/2/3 dimensions + NFFT-based fast Gaussian
+kernel summation) for TPU hardware: XLA FFTs on the oversampled grid,
+MXU/scatter/Pallas spreading strategies, shard_map multi-chip scaling, and
+full differentiability — including point-position gradients the reference
+does not provide.
+
+Public API parity with the reference package ``torch_nfft/__init__.py:14-20``.
+"""
+
+from .models.kernel import GaussianKernel
+from .models.matrices import AbstractMatrix, AdjacencyMatrix, GramMatrix
+from .ops.coeffs import (
+    gaussian_analytic_coeffs,
+    gaussian_interpolated_coeffs,
+    interpolated_kernel_coeffs,
+    interpolation_grid,
+    radial_interpolation_grid,
+)
+from .ops.ndft import (
+    exact_gaussian_matrix,
+    exact_trigonometric_matrix,
+    ndft_adjoint,
+    ndft_fastsum,
+    ndft_forward,
+)
+from .ops.nfft import nfft_adjoint, nfft_fastsum, nfft_forward
+from .utils.points import (
+    compute_points_center,
+    compute_points_radius,
+    scale_points_by_norm,
+    shift_points_by_center,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "nfft_forward",
+    "nfft_adjoint",
+    "nfft_fastsum",
+    "ndft_forward",
+    "ndft_adjoint",
+    "ndft_fastsum",
+    "exact_trigonometric_matrix",
+    "exact_gaussian_matrix",
+    "gaussian_analytic_coeffs",
+    "gaussian_interpolated_coeffs",
+    "interpolation_grid",
+    "radial_interpolation_grid",
+    "interpolated_kernel_coeffs",
+    "GramMatrix",
+    "AdjacencyMatrix",
+    "AbstractMatrix",
+    "GaussianKernel",
+    "compute_points_center",
+    "compute_points_radius",
+    "shift_points_by_center",
+    "scale_points_by_norm",
+]

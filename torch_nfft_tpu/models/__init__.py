@@ -1,0 +1,6 @@
+"""Kernel-matrix / model layer: lazy operators and the Gaussian kernel."""
+
+from .kernel import GaussianKernel
+from .matrices import AbstractMatrix, AdjacencyMatrix, GramMatrix
+
+__all__ = ["AbstractMatrix", "GramMatrix", "AdjacencyMatrix", "GaussianKernel"]

@@ -1,0 +1,282 @@
+"""Matrix-free linear operators built on the NFFT fastsum.
+
+Re-design of the reference's ``torch_nfft/matrices.py`` with the two known
+bugs fixed (SURVEY.md section 2.4):
+
+* ``GramMatrix.is_symmetric`` compared ``self.sources is self.sources``
+  (always True, matrices.py:65); here it correctly compares sources to
+  targets, matching the C++ check ``sources.is_same(targets)``
+  (core_cuda.cu:552).
+* ``AdjacencyMatrix.apply_shift`` referenced an undefined bare ``shift``
+  (NameError for any shift != "none", matrices.py:149); fixed to
+  ``self.shift``.
+
+All operators are registered as JAX pytrees so they can be passed through
+``jit``/``grad``/checkpointing directly.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.nfft import nfft_fastsum
+
+__all__ = ["AbstractMatrix", "GramMatrix", "AdjacencyMatrix"]
+
+
+class AbstractMatrix:
+    """Minimal matrix-free operator interface. Reference: matrices.py:5-37."""
+
+    def __init__(self, shape):
+        self.shape = shape
+
+    def apply(self, x):
+        raise NotImplementedError()
+
+    def __matmul__(self, x):
+        return self.apply(x)
+
+    def is_symmetric(self):
+        return False
+
+    def transpose(self):
+        if self.is_symmetric():
+            return self
+        raise NotImplementedError()
+
+    @property
+    def T(self):
+        return self.transpose()
+
+    def row_sums(self):
+        return self.apply(jnp.ones(self.shape[1], dtype=jnp.float32))
+
+    def column_sums(self):
+        return self.T.row_sums()
+
+    def to_dense(self):
+        return self.apply(jnp.eye(self.shape[1], dtype=jnp.float32))
+
+
+@jax.tree_util.register_pytree_node_class
+class GramMatrix(AbstractMatrix):
+    """Kernel Gram matrix applied via nfft_fastsum.
+
+    ``(matrix @ x)[t] ~= sum_s K(sources[s] - targets[t]) * x[s]``.
+    Reference: matrices.py:40-70.
+    """
+
+    def __init__(
+        self,
+        coeffs,
+        sources,
+        targets=None,
+        source_batch=None,
+        target_batch=None,
+        /,
+        batch=None,
+        cutoff=3,
+        *,
+        batch_size=None,
+        _symmetric=None,
+    ):
+        self._symmetric = (
+            (targets is None or targets is sources) if _symmetric is None else _symmetric
+        )
+        if targets is None:
+            targets = sources
+            target_batch = source_batch
+        if batch is not None:
+            source_batch = batch
+            target_batch = batch
+
+        sources = jnp.asarray(sources)
+        targets = jnp.asarray(targets)
+        super().__init__((targets.shape[0], sources.shape[0]))
+
+        self.coeffs = jnp.asarray(coeffs)
+        self.sources = sources
+        self.targets = targets
+        self.source_batch = source_batch
+        self.target_batch = target_batch
+        self.cutoff = int(cutoff)
+        self.batch_size = batch_size
+
+    def apply(self, x):
+        return nfft_fastsum(
+            x,
+            self.coeffs,
+            self.sources,
+            self.targets,
+            self.source_batch,
+            self.target_batch,
+            cutoff=self.cutoff,
+            batch_size=self.batch_size,
+        )
+
+    def is_symmetric(self):
+        # Fixed vs the reference (matrices.py:65 compares sources to itself).
+        return self._symmetric and self.source_batch is self.target_batch
+
+    def transpose(self):
+        if self.is_symmetric():
+            return self
+        return GramMatrix(
+            self.coeffs,
+            self.targets,
+            self.sources,
+            self.target_batch,
+            self.source_batch,
+            cutoff=self.cutoff,
+            batch_size=self.batch_size,
+        )
+
+    # -- pytree protocol ----------------------------------------------------
+    def tree_flatten(self):
+        children = (
+            self.coeffs,
+            self.sources,
+            self.targets,
+            self.source_batch,
+            self.target_batch,
+        )
+        aux = (self.cutoff, self.batch_size, self._symmetric)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        coeffs, sources, targets, source_batch, target_batch = children
+        cutoff, batch_size, symmetric = aux
+        return cls(
+            coeffs,
+            sources,
+            targets,
+            source_batch,
+            target_batch,
+            cutoff=cutoff,
+            batch_size=batch_size,
+            _symmetric=symmetric,
+        )
+
+
+class AdjacencyMatrix(AbstractMatrix):
+    """Graph adjacency operator on top of a symmetric GramMatrix.
+
+    Supports a diagonal (self-loop) offset, degree normalization
+    ("sym" | "left" | "right" | "rw"), Laplacian / signless shifts and a
+    degree threshold with warning. Reference: matrices.py:74-175.
+    """
+
+    def __init__(
+        self,
+        gram_matrix,
+        diagonal_offset=0,
+        normalization=None,
+        shift=None,
+        degree_threshold=0,
+    ):
+        if not gram_matrix.is_symmetric():
+            raise ValueError(
+                "The underlying Gram matrix of an AdjacencyMatrix must be symmetric"
+            )
+
+        super().__init__(gram_matrix.shape)
+
+        self.gram_matrix = gram_matrix
+        self.diagonal_offset = diagonal_offset
+
+        normalization = "none" if normalization is None else normalization.lower()
+        self.normalization = normalization
+
+        shift = "none" if shift is None else shift.lower()
+        if shift not in ("none", "laplacian", "signless"):
+            raise ValueError(f"Unknown AdjacencyMatrix shift type: {shift}")
+        self.shift = shift
+
+        if shift != "none" or normalization != "none":
+            degrees = gram_matrix.row_sums()
+            if diagonal_offset != 0:
+                degrees = degrees + diagonal_offset
+
+            if normalization != "none":
+                negative_nodes = degrees < degree_threshold
+                num_negative = int(jnp.sum(negative_nodes))
+                if num_negative:
+                    warnings.warn(
+                        "AdjacencyMatrix with normalization: {} out of {} node "
+                        "degrees are smaller than the threshold {:.4g}".format(
+                            num_negative, degrees.size, degree_threshold
+                        ),
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
+                    degrees = jnp.where(negative_nodes, jnp.inf, degrees)
+
+                if normalization == "rw":  # synonym for "left"
+                    normalization = "left"
+                    self.normalization = "left"
+
+                if normalization == "sym":
+                    self.d_inv_sqrt = jax.lax.rsqrt(degrees)
+                elif normalization in ("left", "right"):
+                    self.d_inv = 1.0 / degrees
+                else:
+                    raise ValueError(
+                        f"Unknown AdjacencyMatrix normalization type: {normalization}"
+                    )
+            else:
+                self.degrees = degrees
+
+    def _bcast(self, v, x):
+        return v[(...,) + (None,) * (x.ndim - 1)]
+
+    def apply_left_normalization(self, x):
+        if self.normalization == "sym":
+            return self._bcast(self.d_inv_sqrt, x) * x
+        if self.normalization == "left":
+            return self._bcast(self.d_inv, x) * x
+        return x
+
+    def apply_right_normalization(self, x):
+        if self.normalization == "sym":
+            return self._bcast(self.d_inv_sqrt, x) * x
+        if self.normalization == "right":
+            return self._bcast(self.d_inv, x) * x
+        return x
+
+    def apply_shift(self, x, y):
+        if self.shift == "none":
+            return y
+        if self.normalization == "none":
+            x = self._bcast(self.degrees, x) * x
+        # Fixed vs the reference (matrices.py:149 references bare `shift`).
+        if self.shift == "signless":
+            return x + y
+        return x - y
+
+    def apply(self, x):
+        Dx = self.apply_right_normalization(x)
+        y = self.gram_matrix @ Dx
+        if self.diagonal_offset != 0:
+            y = y + self.diagonal_offset * Dx
+        y = self.apply_left_normalization(y)
+        return self.apply_shift(x, y)
+
+    def is_symmetric(self):
+        return self.normalization not in ("left", "right")
+
+    def transpose(self):
+        if self.normalization in ("left", "right"):
+            transposed = AdjacencyMatrix(
+                self.gram_matrix, self.diagonal_offset, normalization=None, shift=None
+            )
+            transposed.normalization = (
+                "right" if self.normalization == "left" else "left"
+            )
+            transposed.shift = self.shift
+            transposed.d_inv = self.d_inv
+            return transposed
+        return self

@@ -1,0 +1,339 @@
+"""The three core NFFT transforms: adjoint, forward, fastsum.
+
+TPU-native (JAX/XLA) re-implementation of the reference pipeline
+(``csrc/cuda/core_cuda.cu``: nfft_adjoint_cuda :144-336, nfft_forward_cuda
+:340-531, nfft_fastsum_cuda :535-852), with the same public Python surface as
+``torch_nfft/nfft.py`` plus two extensions:
+
+* gradients w.r.t. the point positions (the reference returns None for pos,
+  nfft.py:28,54,88) — everything here is a differentiable jnp composition;
+* jit/static-shape friendliness: pass ``batch_size=`` when tracing with a
+  traced ``batch`` vector.
+
+Math conventions (verified against the dense NDFT oracle in ops/ndft.py):
+
+  adjoint:  y[b, k, c] = sum_{i in batch b} x[i, c] * exp(+2*pi*1j * k . pos_i)
+  forward:  y[i, c]    = sum_k x[batch_i, k, c] * exp(-2*pi*1j * k . pos_i)
+  fastsum:  y = forward(coeffs * adjoint(x))     (per batch, per column)
+
+with k in [-N/2, N/2)^dim. cuFFT's unnormalized transforms map to
+``jnp.fft.ifftn(..., norm="forward")`` (unnormalized e^{+2 pi i}) and
+``jnp.fft.fftn(...)`` (unnormalized e^{-2 pi i}).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .spectral import (
+    apply_phi_hat_inv,
+    centered_crop,
+    centered_embed,
+    fastsum_band_filter,
+)
+from .spread_gather import gather, spread
+
+__all__ = ["nfft_adjoint", "nfft_forward", "nfft_fastsum"]
+
+DEFAULT_SIGMA = 2.0
+
+
+def _complex_dtype_for(x):
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        return x.dtype
+    return jnp.complex128 if x.dtype == jnp.float64 else jnp.complex64
+
+
+def _normalize_batch(batch, n, batch_size):
+    """Resolve (batch, batch_size) to concrete arrays / static ints."""
+    if batch is None:
+        return jnp.zeros((n,), dtype=jnp.int32), 1
+    batch = jnp.asarray(batch)
+    if batch_size is None:
+        if isinstance(batch, jax.core.Tracer):
+            raise ValueError(
+                "batch_size must be passed explicitly when `batch` is a traced "
+                "value (shapes must be static under jit)."
+            )
+        batch_size = int(batch[-1]) + 1
+    return batch.astype(jnp.int32), int(batch_size)
+
+
+# ---------------------------------------------------------------------------
+# Adjoint
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("batch_size", "N", "m", "real_output", "sigma", "strategy"),
+)
+def _nfft_adjoint_impl(x, pos, batch, *, batch_size, N, m, real_output, sigma, strategy):
+    n, dim = pos.shape
+    M = int(round(sigma * N))
+    trailing = x.shape[1:]
+    C = math.prod(trailing) if trailing else 1
+    xf = x.reshape(n, C)
+
+    with jax.named_scope("nfft_spread"):
+        g = spread(xf, pos, batch, batch_size, N, m, sigma, strategy)
+        g = g.reshape((batch_size,) + (M,) * dim + (C,))
+
+    with jax.named_scope("nfft_fft"):
+        # Unnormalized inverse DFT == cufftExecC2C(..., CUFFT_INVERSE)
+        # (core_cuda.cu:267).
+        g_hat = jnp.fft.ifftn(
+            g.astype(_complex_dtype_for(x)), axes=tuple(range(1, dim + 1)), norm="forward"
+        )
+
+    with jax.named_scope("nfft_rolloff"):
+        y = centered_crop(g_hat, dim, N, spatial_axis0=1)
+        y = apply_phi_hat_inv(y, dim, N, m, sigma, spatial_axis0=1)
+
+    y = y.reshape((batch_size,) + (N,) * dim + trailing)
+    return y.real if real_output else y
+
+
+def nfft_adjoint(
+    x,
+    pos,
+    batch=None,
+    bandwidth=16,
+    cutoff=3,
+    real_output=False,
+    *,
+    batch_size=None,
+    N=None,
+    m=None,
+    sigma=DEFAULT_SIGMA,
+    strategy="auto",
+):
+    """Adjoint NFFT: irregular samples -> centered spectral coefficients.
+
+    Mirrors ``torch_nfft.nfft_adjoint`` (reference nfft.py:31): ``x`` has shape
+    (n, *cols); returns (batch_size, N, ..., N, *cols) with frequency k stored
+    at index k + N/2. ``N``/``m`` are accepted as aliases for
+    ``bandwidth``/``cutoff``. Differentiable w.r.t. both x and pos.
+    """
+    N = int(bandwidth if N is None else N)
+    m = int(cutoff if m is None else m)
+    x = jnp.asarray(x)
+    pos = jnp.asarray(pos)
+    batch, batch_size = _normalize_batch(batch, pos.shape[0], batch_size)
+    return _nfft_adjoint_impl(
+        x,
+        pos,
+        batch,
+        batch_size=batch_size,
+        N=N,
+        m=m,
+        real_output=bool(real_output),
+        sigma=float(sigma),
+        strategy=strategy,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("batch_size", "dim", "m", "real_output", "sigma", "strategy"),
+)
+def _nfft_forward_impl(x, pos, batch, *, batch_size, dim, m, real_output, sigma, strategy):
+    N = x.shape[1]
+    M = int(round(sigma * N))
+    trailing = x.shape[1 + dim :]
+    C = math.prod(trailing) if trailing else 1
+
+    xc = x.reshape((batch_size,) + (N,) * dim + (C,)).astype(_complex_dtype_for(x))
+
+    with jax.named_scope("nfft_rolloff"):
+        xw = apply_phi_hat_inv(xc, dim, N, m, sigma, spatial_axis0=1)
+        g_hat = centered_embed(xw, dim, N, M, spatial_axis0=1)
+
+    with jax.named_scope("nfft_fft"):
+        # Unnormalized forward DFT == cufftExecC2C(..., CUFFT_FORWARD)
+        # (core_cuda.cu:445).
+        g = jnp.fft.fftn(g_hat, axes=tuple(range(1, dim + 1)))
+
+    with jax.named_scope("nfft_gather"):
+        g_flat = g.reshape(batch_size * M**dim, C)
+        y = gather(g_flat, pos, batch, batch_size, N, m, sigma, strategy)
+
+    y = y.reshape((pos.shape[0],) + trailing)
+    return y.real if real_output else y
+
+
+def nfft_forward(
+    x,
+    pos,
+    batch=None,
+    cutoff=3,
+    real_output=False,
+    *,
+    batch_size=None,
+    m=None,
+    sigma=DEFAULT_SIGMA,
+    strategy="auto",
+):
+    """Forward NFFT: centered spectral coefficients -> irregular samples.
+
+    Mirrors ``torch_nfft.nfft_forward`` (reference nfft.py:57): ``x`` has shape
+    (batch_size, N, ..., N, *cols) with the number of spatial axes given by
+    ``pos.shape[1]``; returns (n, *cols). Differentiable w.r.t. x and pos.
+    """
+    m = int(cutoff if m is None else m)
+    x = jnp.asarray(x)
+    pos = jnp.asarray(pos)
+    dim = pos.shape[1]
+    batch, batch_size = _normalize_batch(batch, pos.shape[0], batch_size)
+    if x.shape[0] != batch_size:
+        raise ValueError(
+            f"x.shape[0] = {x.shape[0]} must equal batch_size = {batch_size}"
+        )
+    return _nfft_forward_impl(
+        x,
+        pos,
+        batch,
+        batch_size=batch_size,
+        dim=dim,
+        m=m,
+        real_output=bool(real_output),
+        sigma=float(sigma),
+        strategy=strategy,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fastsum
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("batch_size", "N", "m", "sigma", "strategy", "symmetric"),
+)
+def _nfft_fastsum_impl(
+    x,
+    coeffs,
+    sources,
+    targets,
+    source_batch,
+    target_batch,
+    *,
+    batch_size,
+    N,
+    m,
+    sigma,
+    strategy,
+    symmetric,
+):
+    n_src, dim = sources.shape
+    M = int(round(sigma * N))
+    trailing = x.shape[1:]
+    C = math.prod(trailing) if trailing else 1
+    xf = x.reshape(n_src, C)
+    cdtype = jnp.result_type(_complex_dtype_for(x), _complex_dtype_for(coeffs))
+
+    with jax.named_scope("fastsum_spread"):
+        g = spread(xf, sources, source_batch, batch_size, N, m, sigma, strategy)
+        g = g.reshape((batch_size,) + (M,) * dim + (C,))
+
+    with jax.named_scope("fastsum_fft_adjoint"):
+        g_hat = jnp.fft.ifftn(
+            g.astype(cdtype), axes=tuple(range(1, dim + 1)), norm="forward"
+        )
+
+    with jax.named_scope("fastsum_kernel_convolution"):
+        # coeffs * phi_hat_inv^2 embedded on the oversampled grid, zero
+        # outside the band (spectral_window_operations.cu:269-402).
+        filt = fastsum_band_filter(coeffs, N, m, M, sigma)
+        g_hat = g_hat * filt[None, ..., None].astype(cdtype)
+
+    with jax.named_scope("fastsum_fft_forward"):
+        g2 = jnp.fft.fftn(g_hat, axes=tuple(range(1, dim + 1)))
+
+    with jax.named_scope("fastsum_gather"):
+        g2_flat = g2.reshape(batch_size * M**dim, C)
+        y = gather(g2_flat, targets, target_batch, batch_size, N, m, sigma, strategy)
+
+    y = y.reshape((targets.shape[0],) + trailing)
+    if not jnp.issubdtype(x.dtype, jnp.complexfloating):
+        y = y.real
+    return y
+
+
+def nfft_fastsum(
+    x,
+    coeffs,
+    sources,
+    targets=None,
+    source_batch=None,
+    target_batch=None,
+    /,
+    batch=None,
+    cutoff=3,
+    *,
+    batch_size=None,
+    m=None,
+    sigma=DEFAULT_SIGMA,
+    strategy="auto",
+):
+    """Fast multiplication with a trigonometric kernel (Gram) matrix.
+
+    Mirrors ``torch_nfft.nfft_fastsum`` (reference nfft.py:91-179):
+    ``y[t] ~= sum_s K(sources[s] - targets[t]) x[s]`` where K is the
+    trigonometric kernel with centered coefficients ``coeffs`` (shape
+    (N,)*dim, value for frequency l at index l + N/2). Real input -> real
+    output. Cost O(m^dim * max(n_src, n_tgt) + N^dim log N) per column.
+    """
+    m_ = int(cutoff if m is None else m)
+    x = jnp.asarray(x)
+    coeffs = jnp.asarray(coeffs)
+    sources = jnp.asarray(sources)
+    symmetric = targets is None or targets is sources
+    if targets is None:
+        targets = sources
+        target_batch = source_batch
+    targets = jnp.asarray(targets)
+    if batch is not None:
+        source_batch = batch
+        target_batch = batch
+
+    N = coeffs.shape[0]
+    if coeffs.ndim != sources.shape[1]:
+        raise ValueError(
+            f"coeffs must be {sources.shape[1]}-dimensional, got {coeffs.ndim}"
+        )
+    for d in range(coeffs.ndim):
+        if coeffs.shape[d] != N:
+            raise ValueError("coeffs must have equal size N in every dimension")
+
+    source_batch, bs_src = _normalize_batch(source_batch, sources.shape[0], batch_size)
+    target_batch, bs_tgt = _normalize_batch(target_batch, targets.shape[0], batch_size)
+    if bs_src != bs_tgt:
+        raise ValueError(
+            f"source batch size {bs_src} != target batch size {bs_tgt}"
+        )
+
+    return _nfft_fastsum_impl(
+        x,
+        coeffs,
+        sources,
+        targets,
+        source_batch,
+        target_batch,
+        batch_size=bs_src,
+        N=N,
+        m=m_,
+        sigma=float(sigma),
+        strategy=strategy,
+        symmetric=symmetric,
+    )
