@@ -1,0 +1,137 @@
+"""Multi-chip shard_map paths vs the single-device transforms.
+
+Runs on the 8-virtual-CPU-device mesh from conftest.py. The sharded results
+must match the unsharded ones to float tolerance (same math, one psum).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import torch_nfft_tpu as tn
+from torch_nfft_tpu.parallel import (
+    make_fastsum_train_step,
+    make_mesh,
+    nfft_adjoint_sharded,
+    nfft_fastsum_sharded,
+    nfft_forward_sharded,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh({"points": -1})
+
+
+@pytest.fixture(scope="module")
+def mesh2d():
+    return make_mesh({"data": 2, "points": -1})
+
+
+def _points(rng, n, dim, batch_size):
+    pos = (rng.random((n, dim)) - 0.5).astype(np.float32)
+    pos /= 4 * np.abs(pos).max()
+    batch = np.sort(rng.integers(0, batch_size, n)).astype(np.int32)
+    batch[: batch_size] = np.arange(batch_size)  # every batch non-empty
+    batch = np.sort(batch)
+    return pos, batch
+
+
+def test_mesh_helper():
+    mesh = make_mesh()
+    assert mesh.shape["points"] == len(jax.devices())
+    mesh = make_mesh({"data": 2, "points": -1})
+    assert mesh.shape["data"] * mesh.shape["points"] == len(jax.devices())
+    with pytest.raises(ValueError):
+        make_mesh({"data": 3, "points": -1})
+
+
+@pytest.mark.parametrize("dim", [1, 2])
+def test_adjoint_sharded_matches(mesh, rng, dim):
+    n, N, m, B, C = 64, 8, 3, 2, 3
+    pos, batch = _points(rng, n, dim, B)
+    x = rng.standard_normal((n, C)).astype(np.float32)
+    ref = tn.nfft_adjoint(x, pos, batch, bandwidth=N, cutoff=m, batch_size=B)
+    got = nfft_adjoint_sharded(
+        x, pos, batch, bandwidth=N, cutoff=m, mesh=mesh, batch_size=B
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("dim", [1, 2])
+def test_forward_sharded_matches(mesh, rng, dim):
+    n, N, m, B, C = 64, 8, 3, 2, 3
+    pos, batch = _points(rng, n, dim, B)
+    x = (
+        rng.standard_normal((B,) + (N,) * dim + (C,))
+        + 1j * rng.standard_normal((B,) + (N,) * dim + (C,))
+    ).astype(np.complex64)
+    ref = tn.nfft_forward(x, pos, batch, cutoff=m, batch_size=B)
+    got = nfft_forward_sharded(x, pos, batch, cutoff=m, mesh=mesh, batch_size=B)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_fastsum_sharded_matches(mesh, rng):
+    n, N, m, B, C, dim = 64, 8, 3, 2, 2, 2
+    pos, batch = _points(rng, n, dim, B)
+    x = rng.standard_normal((n, C)).astype(np.float32)
+    coeffs = tn.gaussian_analytic_coeffs(0.25, dim=dim, N=N)
+    ref = tn.nfft_fastsum(x, coeffs, pos, batch=batch, cutoff=m, batch_size=B)
+    got = nfft_fastsum_sharded(
+        x, coeffs, pos, batch=batch, cutoff=m, mesh=mesh, batch_size=B
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_fastsum_sharded_cols_axis(mesh2d, rng):
+    # Column axis sharded over "data": zero-communication parallelism.
+    n, N, m, C, dim = 32, 8, 3, 4, 2
+    pos, batch = _points(rng, n, dim, 1)
+    x = rng.standard_normal((n, C)).astype(np.float32)
+    coeffs = tn.gaussian_analytic_coeffs(0.25, dim=dim, N=N)
+    ref = tn.nfft_fastsum(x, coeffs, pos, batch=batch, cutoff=m, batch_size=1)
+    got = nfft_fastsum_sharded(
+        x, coeffs, pos, batch=batch, cutoff=m,
+        mesh=mesh2d, cols_axis="data", batch_size=1,
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_train_step_runs_and_descends(mesh2d, rng):
+    B, n, dim, N, m, C = 4, 16, 2, 8, 3, 2
+    coeffs = tn.gaussian_analytic_coeffs(0.3, dim=dim, N=N)
+    pos = (rng.random((B, n, dim)) - 0.5).astype(np.float32) / 4
+    w = jnp.zeros((B, n, C), jnp.float32)
+    y = rng.standard_normal((B, n, C)).astype(np.float32)
+
+    lr = 0.02
+    step, shardings = make_fastsum_train_step(
+        mesh2d, coeffs, batch_size=B, n_per_set=n, cutoff=m, learning_rate=lr
+    )
+    w = jax.device_put(w, shardings[0])
+    pos_d = jax.device_put(jnp.asarray(pos), shardings[1])
+    y_d = jax.device_put(jnp.asarray(y), shardings[2])
+
+    w, loss0 = step(w, pos_d, y_d)
+    losses = [float(loss0)]
+    for _ in range(5):
+        w, loss = step(w, pos_d, y_d)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+    # gradient parity vs single-device computation
+    def single_loss(w):
+        wf = w.reshape(B * n, C)
+        posf = jnp.asarray(pos).reshape(B * n, dim)
+        bvec = jnp.repeat(jnp.arange(B, dtype=jnp.int32), n)
+        pred = tn.nfft_fastsum(
+            wf, coeffs, posf, batch=bvec, cutoff=m, batch_size=B
+        )
+        return jnp.mean((pred.reshape(B, n, C) - jnp.asarray(y)) ** 2) * C
+
+    w0 = jnp.zeros((B, n, C), jnp.float32)
+    g_single = jax.grad(single_loss)(w0)
+    w1, _ = step(jax.device_put(w0, shardings[0]), pos_d, y_d)
+    g_sharded = (w0 - w1) / lr
+    np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_single), rtol=1e-4, atol=1e-6)

@@ -1,0 +1,91 @@
+"""Planar (pure-real) pipelines vs the complex-dtype pipelines."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import torch_nfft_tpu as tn
+from torch_nfft_tpu.ops.planar import (
+    nfft_adjoint_planar,
+    nfft_fastsum_real,
+    nfft_forward_planar,
+)
+
+
+def _points(rng, n, dim, batch_size):
+    pos = (rng.random((n, dim)) - 0.5).astype(np.float32)
+    pos /= 4 * np.abs(pos).max()
+    batch = np.repeat(np.arange(batch_size, dtype=np.int32), n // batch_size)
+    return pos, batch
+
+
+@pytest.mark.parametrize("dim,N", [(1, 16), (2, 16), (3, 8)])
+def test_adjoint_planar_matches_complex(rng, dim, N):
+    n, m, B, C = 60, 3, 2, 3
+    pos, batch = _points(rng, n, dim, B)
+    x = rng.standard_normal((n, C)).astype(np.float32)
+    ref = tn.nfft_adjoint(x, pos, batch, bandwidth=N, cutoff=m, batch_size=B)
+    yr, yi = nfft_adjoint_planar(
+        jnp.asarray(x), jnp.asarray(pos), jnp.asarray(batch), batch_size=B, N=N, m=m
+    )
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("dim,N", [(1, 16), (2, 16)])
+def test_forward_planar_matches_complex(rng, dim, N):
+    n, m, B, C = 60, 3, 2, 3
+    pos, batch = _points(rng, n, dim, B)
+    x = (
+        rng.standard_normal((B,) + (N,) * dim + (C,))
+        + 1j * rng.standard_normal((B,) + (N,) * dim + (C,))
+    ).astype(np.complex64)
+    ref = tn.nfft_forward(x, pos, batch, cutoff=m, batch_size=B)
+    yr, yi = nfft_forward_planar(
+        jnp.asarray(x.real.copy()),
+        jnp.asarray(x.imag.copy()),
+        jnp.asarray(pos),
+        jnp.asarray(batch),
+        batch_size=B,
+        dim=dim,
+        m=m,
+    )
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_fastsum_real_matches_complex(rng):
+    n, N, m, B, C, dim = 64, 8, 3, 2, 2, 2
+    pos, batch = _points(rng, n, dim, B)
+    x = rng.standard_normal((n, C)).astype(np.float32)
+    coeffs = tn.gaussian_analytic_coeffs(0.25, dim=dim, N=N)
+    ref = tn.nfft_fastsum(x, coeffs, pos, batch=batch, cutoff=m, batch_size=B)
+    got = nfft_fastsum_real(
+        jnp.asarray(x),
+        coeffs,
+        jnp.asarray(pos),
+        jnp.asarray(pos),
+        jnp.asarray(batch),
+        jnp.asarray(batch),
+        batch_size=B,
+        N=N,
+        m=m,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_roundtrip_planar_vs_ndft(rng):
+    """adjoint -> forward planar roundtrip against the dense oracle."""
+    n, N, m, dim = 50, 16, 4, 2
+    pos, batch = _points(rng, n, dim, 1)
+    x = rng.standard_normal((n, 2)).astype(np.float32)
+    yr, yi = nfft_adjoint_planar(
+        jnp.asarray(x), jnp.asarray(pos), jnp.asarray(batch), batch_size=1, N=N, m=m
+    )
+    zr, _ = nfft_forward_planar(
+        yr, yi, jnp.asarray(pos), jnp.asarray(batch), batch_size=1, dim=dim, m=m
+    )
+    spec = tn.ndft_adjoint(x, pos, N=N)
+    ref = tn.ndft_forward(np.asarray(spec), pos).real
+    rel = np.linalg.norm(np.asarray(zr) - ref) / np.linalg.norm(ref)
+    assert rel < 5e-4, rel

@@ -27,6 +27,12 @@ from .ops.ndft import (
     ndft_forward,
 )
 from .ops.nfft import nfft_adjoint, nfft_fastsum, nfft_forward
+from .ops.planar import (
+    nfft_adjoint_planar,
+    nfft_fastsum_real,
+    nfft_forward_planar,
+)
+from . import parallel
 from .utils.points import (
     compute_points_center,
     compute_points_radius,
@@ -40,6 +46,10 @@ __all__ = [
     "nfft_forward",
     "nfft_adjoint",
     "nfft_fastsum",
+    "nfft_adjoint_planar",
+    "nfft_forward_planar",
+    "nfft_fastsum_real",
+    "parallel",
     "ndft_forward",
     "ndft_adjoint",
     "ndft_fastsum",

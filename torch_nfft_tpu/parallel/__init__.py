@@ -1,0 +1,32 @@
+"""Multi-chip SPMD execution of the NFFT transforms.
+
+The reference is single-process, single-GPU (SURVEY.md section 2.3); its only
+"communication" is intra-GPU atomicAdd contention on the shared oversampled
+grid. The TPU-native scaling design replaces that with explicit SPMD over a
+``jax.sharding.Mesh``:
+
+* the **point axis** shards the irregular points: every chip spreads its local
+  points into a local replica of the oversampled grid and a single
+  ``lax.psum`` over ICI reduces the replicas (adjoint / fastsum); the forward
+  gather is purely local once the grid is replicated;
+* the **column axis** shards the trailing coefficient columns: fully
+  independent signals, zero communication;
+* independent point-set groups (data parallelism) ride a leading axis, see
+  :func:`make_fastsum_train_step`.
+"""
+
+from .mesh import make_mesh
+from .sharded import (
+    nfft_adjoint_sharded,
+    nfft_fastsum_sharded,
+    nfft_forward_sharded,
+)
+from .training import make_fastsum_train_step
+
+__all__ = [
+    "make_mesh",
+    "nfft_adjoint_sharded",
+    "nfft_forward_sharded",
+    "nfft_fastsum_sharded",
+    "make_fastsum_train_step",
+]

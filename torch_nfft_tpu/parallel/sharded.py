@@ -1,0 +1,288 @@
+"""shard_map implementations of the three transforms.
+
+Communication pattern (the TPU-native answer to the reference's atomicAdd
+scatter into one shared grid, ``csrc/cuda/spatial_window_operations.cu:156``):
+
+* **adjoint**: every chip spreads its local point shard into a local
+  oversampled grid, then ONE ``lax.psum`` over the point axis reduces the
+  grids over ICI; FFT + rolloff run replicated (cheap relative to spreading
+  at large n) so the spectral output is replicated.
+* **forward**: the spectral input is replicated; embed + FFT run replicated
+  and the window gather is purely local — zero collectives.
+* **fastsum**: spread(local) -> psum -> IFFT -> band filter -> FFT ->
+  gather(local); again one psum total.
+
+The optional column axis shards trailing coefficient columns with zero
+communication (independent signals, ``core_cuda.cu:84`` semantics).
+
+All functions require the local point count to be equal on every chip: pad
+``pos``/``x`` with zero-weight points if n is not divisible (spreading a zero
+adds nothing; padded forward outputs are sliced away by the caller).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..ops.nfft import DEFAULT_SIGMA, _complex_dtype_for
+from ..ops.spectral import (
+    apply_phi_hat_inv,
+    centered_crop,
+    centered_embed,
+    fastsum_band_filter,
+)
+from ..ops.spread_gather import gather, spread
+
+__all__ = [
+    "nfft_adjoint_sharded",
+    "nfft_forward_sharded",
+    "nfft_fastsum_sharded",
+    "fastsum_local",
+]
+
+shard_map = jax.shard_map
+
+
+def fastsum_local(
+    xf,
+    sources,
+    source_batch,
+    targets,
+    target_batch,
+    coeffs,
+    *,
+    batch_size,
+    N,
+    m,
+    sigma=DEFAULT_SIGMA,
+    strategy="auto",
+    points_axis=None,
+    cdtype=None,
+):
+    """Per-shard fastsum body: spread(local) -> [psum] -> IFFT -> band filter
+    -> FFT -> gather(local). Callable inside any shard_map (pass
+    ``points_axis``) or standalone single-device (``points_axis=None``).
+    Shapes: xf (n_src, C), sources/targets (n, dim), returns (n_tgt, C).
+    """
+    n_src, dim = sources.shape
+    M = int(round(sigma * N))
+    C = xf.shape[1]
+    if cdtype is None:
+        cdtype = jnp.result_type(_complex_dtype_for(xf), _complex_dtype_for(coeffs))
+
+    g = spread(xf, sources, source_batch, batch_size, N, m, sigma, strategy)
+    if points_axis is not None:
+        g = jax.lax.psum(g, points_axis)
+    g = g.reshape((batch_size,) + (M,) * dim + (C,))
+    g_hat = jnp.fft.ifftn(g.astype(cdtype), axes=tuple(range(1, dim + 1)), norm="forward")
+    filt = fastsum_band_filter(coeffs, N, m, M, sigma)
+    g_hat = g_hat * filt[None, ..., None].astype(cdtype)
+    g2 = jnp.fft.fftn(g_hat, axes=tuple(range(1, dim + 1)))
+    g2_flat = g2.reshape(batch_size * M**dim, C)
+    y = gather(g2_flat, targets, target_batch, batch_size, N, m, sigma, strategy)
+    if not jnp.issubdtype(xf.dtype, jnp.complexfloating):
+        y = y.real
+    return y
+
+
+def _col_spec(ndim_trailing: int, cols_axis):
+    """PartitionSpec entries for the trailing column dims (first one sharded)."""
+    if ndim_trailing == 0:
+        return ()
+    return (cols_axis,) + (None,) * (ndim_trailing - 1)
+
+
+def nfft_adjoint_sharded(
+    x,
+    pos,
+    batch=None,
+    bandwidth=16,
+    cutoff=3,
+    real_output=False,
+    *,
+    mesh,
+    points_axis="points",
+    cols_axis=None,
+    batch_size=None,
+    sigma=DEFAULT_SIGMA,
+    strategy="auto",
+):
+    """Multi-chip adjoint NFFT. Points sharded over ``points_axis``; the
+    (batch, N^dim, cols) spectrum is returned replicated over that axis.
+    """
+    N, m = int(bandwidth), int(cutoff)
+    x = jnp.asarray(x)
+    pos = jnp.asarray(pos)
+    n, dim = pos.shape
+    if batch is None:
+        batch = jnp.zeros((n,), jnp.int32)
+        batch_size = 1 if batch_size is None else batch_size
+    batch = jnp.asarray(batch, jnp.int32)
+    if batch_size is None:
+        batch_size = int(batch[-1]) + 1
+    M = int(round(sigma * N))
+    trailing = x.shape[1:]
+    C = math.prod(trailing) if trailing else 1
+    xf = x.reshape(n, C)
+
+    def local(xf, pos, batch):
+        g = spread(xf, pos, batch, batch_size, N, m, sigma, strategy)
+        g = jax.lax.psum(g, points_axis)
+        g = g.reshape((batch_size,) + (M,) * dim + (C,))
+        g_hat = jnp.fft.ifftn(
+            g.astype(_complex_dtype_for(x)),
+            axes=tuple(range(1, dim + 1)),
+            norm="forward",
+        )
+        y = centered_crop(g_hat, dim, N, spatial_axis0=1)
+        y = apply_phi_hat_inv(y, dim, N, m, sigma, spatial_axis0=1)
+        return y.real if real_output else y
+
+    cspec = (cols_axis,)
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(points_axis, *cspec), P(points_axis, None), P(points_axis)),
+        out_specs=P(None, *([None] * dim), *cspec),
+    )
+    y = jax.jit(fn)(xf, pos, batch)
+    return y.reshape((batch_size,) + (N,) * dim + trailing)
+
+
+def nfft_forward_sharded(
+    x,
+    pos,
+    batch=None,
+    cutoff=3,
+    real_output=False,
+    *,
+    mesh,
+    points_axis="points",
+    cols_axis=None,
+    batch_size=None,
+    sigma=DEFAULT_SIGMA,
+    strategy="auto",
+):
+    """Multi-chip forward NFFT. The spectral input is replicated over the
+    point axis; the per-point output comes back sharded over it.
+    """
+    m = int(cutoff)
+    x = jnp.asarray(x)
+    pos = jnp.asarray(pos)
+    n, dim = pos.shape
+    N = x.shape[1]
+    M = int(round(sigma * N))
+    if batch is None:
+        batch = jnp.zeros((n,), jnp.int32)
+    batch = jnp.asarray(batch, jnp.int32)
+    batch_size = x.shape[0] if batch_size is None else batch_size
+    trailing = x.shape[1 + dim :]
+    C = math.prod(trailing) if trailing else 1
+    xc = x.reshape((batch_size,) + (N,) * dim + (C,)).astype(_complex_dtype_for(x))
+
+    def local(xc, pos, batch):
+        xw = apply_phi_hat_inv(xc, dim, N, m, sigma, spatial_axis0=1)
+        g_hat = centered_embed(xw, dim, N, M, spatial_axis0=1)
+        g = jnp.fft.fftn(g_hat, axes=tuple(range(1, dim + 1)))
+        g_flat = g.reshape(batch_size * M**dim, C)
+        y = gather(g_flat, pos, batch, batch_size, N, m, sigma, strategy)
+        return y.real if real_output else y
+
+    cspec = (cols_axis,)
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, *([None] * dim), *cspec), P(points_axis, None), P(points_axis)),
+        out_specs=P(points_axis, *cspec),
+    )
+    y = jax.jit(fn)(xc, pos, batch)
+    return y.reshape((n,) + trailing)
+
+
+def nfft_fastsum_sharded(
+    x,
+    coeffs,
+    sources,
+    targets=None,
+    source_batch=None,
+    target_batch=None,
+    /,
+    batch=None,
+    cutoff=3,
+    *,
+    mesh,
+    points_axis="points",
+    cols_axis=None,
+    batch_size=None,
+    sigma=DEFAULT_SIGMA,
+    strategy="auto",
+):
+    """Multi-chip fastsum: sources and targets both sharded over the point
+    axis, one psum of the oversampled grid in between.
+    """
+    m = int(cutoff)
+    x = jnp.asarray(x)
+    coeffs = jnp.asarray(coeffs)
+    sources = jnp.asarray(sources)
+    if targets is None:
+        targets = sources
+        target_batch = source_batch
+    targets = jnp.asarray(targets)
+    if batch is not None:
+        source_batch = batch
+        target_batch = batch
+    n_src, dim = sources.shape
+    n_tgt = targets.shape[0]
+    if source_batch is None:
+        source_batch = jnp.zeros((n_src,), jnp.int32)
+        target_batch = jnp.zeros((n_tgt,), jnp.int32)
+        batch_size = 1 if batch_size is None else batch_size
+    source_batch = jnp.asarray(source_batch, jnp.int32)
+    target_batch = jnp.asarray(target_batch, jnp.int32)
+    if batch_size is None:
+        batch_size = int(source_batch[-1]) + 1
+    N = coeffs.shape[0]
+    M = int(round(sigma * N))
+    trailing = x.shape[1:]
+    C = math.prod(trailing) if trailing else 1
+    xf = x.reshape(n_src, C)
+    cdtype = jnp.result_type(_complex_dtype_for(x), _complex_dtype_for(coeffs))
+
+    def local(xf, sources, source_batch, targets, target_batch, coeffs):
+        return fastsum_local(
+            xf,
+            sources,
+            source_batch,
+            targets,
+            target_batch,
+            coeffs,
+            batch_size=batch_size,
+            N=N,
+            m=m,
+            sigma=sigma,
+            strategy=strategy,
+            points_axis=points_axis,
+            cdtype=cdtype,
+        )
+
+    cspec = (cols_axis,)
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(points_axis, *cspec),
+            P(points_axis, None),
+            P(points_axis),
+            P(points_axis, None),
+            P(points_axis),
+            P(*([None] * dim)),
+        ),
+        out_specs=P(points_axis, *cspec),
+    )
+    y = jax.jit(fn)(xf, sources, source_batch, targets, target_batch, coeffs)
+    return y.reshape((n_tgt,) + trailing)
