@@ -1,0 +1,138 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline (BASELINE.json): nonuniform points/sec through one adjoint+forward
+NFFT pair, 3D, N=256, m=4, with a relative-L2 accuracy gate vs the dense NDFT
+oracle on a small configuration first. Runs the pure-real (planar matmul-FFT)
+pipeline so it executes on TPU runtimes without complex/FFT support.
+
+The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is null.
+Environment overrides: BENCH_N_POINTS, BENCH_BANDWIDTH, BENCH_DIM,
+BENCH_CUTOFF, BENCH_STRATEGY.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _log(msg):
+    print(f"[bench] {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr, flush=True)
+
+
+def _accuracy_gate():
+    """Small-config rel-L2 error of the planar pipeline vs a numpy NDFT."""
+    import jax.numpy as jnp
+
+    from torch_nfft_tpu.ops.planar import nfft_adjoint_planar
+
+    rng = np.random.default_rng(0)
+    n, dim, N, m = 400, 2, 16, 4
+    pos = (rng.random((n, dim), dtype=np.float32) - 0.5)
+    pos /= 4 * np.abs(pos).max()
+    x = rng.standard_normal((n, 2)).astype(np.float32)
+    batch = np.zeros((n,), np.int32)
+
+    yr, yi = nfft_adjoint_planar(
+        jnp.asarray(x), jnp.asarray(pos), jnp.asarray(batch), batch_size=1, N=N, m=m
+    )
+    got = np.asarray(yr)[0] + 1j * np.asarray(yi)[0]  # (N, N, 2)
+
+    # dense NDFT oracle in numpy (float64):
+    # y[k, c] = sum_i x[i, c] * exp(+2 pi i k . pos_i), k in [-N/2, N/2)^2
+    k = np.arange(N) - N // 2
+    kx, ky = np.meshgrid(k, k, indexing="ij")
+    phase = np.exp(
+        2j
+        * np.pi
+        * (kx.reshape(-1, 1) * pos[:, 0] + ky.reshape(-1, 1) * pos[:, 1])
+    )  # (N*N, n)
+    ref = (phase @ x.astype(np.complex128)).reshape(N, N, 2)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    return float(rel)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from torch_nfft_tpu.ops.planar import nfft_adjoint_planar, nfft_forward_planar
+
+    n = int(os.environ.get("BENCH_N_POINTS", 1 << 20))
+    N = int(os.environ.get("BENCH_BANDWIDTH", 256))
+    dim = int(os.environ.get("BENCH_DIM", 3))
+    m = int(os.environ.get("BENCH_CUTOFF", 4))
+    strategy = os.environ.get("BENCH_STRATEGY", "auto")
+
+    _log(f"config: n={n} N={N} dim={dim} m={m} strategy={strategy}")
+    _log("accuracy gate (2D N=16) ...")
+    rel_err = _accuracy_gate()
+    gate_ok = rel_err < 1e-3
+    _log(f"accuracy gate rel_l2={rel_err:.2e} ok={gate_ok}")
+
+    rng = np.random.default_rng(7)
+    pos_np = (rng.random((n, dim), dtype=np.float32) - 0.5) / 2.0
+    pos = jnp.asarray(pos_np)
+    x = jnp.asarray(rng.standard_normal((n, 1)).astype(np.float32))
+    batch = jnp.zeros((n,), jnp.int32)
+
+    # Plan once (host-side binning; amortized across transforms, like an FFTW
+    # plan). "binned" turns the irregular scatter into dense MXU contractions.
+    plan = None
+    t_plan = 0.0
+    if strategy in ("auto", "binned"):
+        from torch_nfft_tpu.ops.binned import build_plan
+
+        t0 = time.perf_counter()
+        plan = build_plan(pos_np, None, N=N, m=m, batch_size=1)
+        t_plan = time.perf_counter() - t0
+        _log(f"plan built in {t_plan:.3f}s: rows={plan.slot_pt.shape[0]} K={plan.K} T={plan.T}")
+
+    def pair(x, pos, batch, plan):
+        yr, yi = nfft_adjoint_planar(
+            x, pos, batch, plan, batch_size=1, N=N, m=m, strategy=strategy
+        )
+        zr, _ = nfft_forward_planar(
+            yr, yi, pos, batch, plan, batch_size=1, dim=dim, m=m, strategy=strategy
+        )
+        # scalar so timing can force a host read (lazy backends make
+        # block_until_ready unreliable)
+        return jnp.sum(zr)
+
+    fn = jax.jit(pair)
+    _log("compiling + first run ...")
+    t0 = time.perf_counter()
+    _ = float(fn(x, pos, batch, plan))  # compile + warm up + execute
+    _log(f"first run done in {time.perf_counter()-t0:.1f}s")
+
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        _ = float(fn(x, pos, batch, plan))
+        times.append(time.perf_counter() - t0)
+        _log(f"iter {i}: {times[-1]:.3f}s")
+    t = float(np.median(times))
+
+    result = {
+        "metric": f"nonuniform points/sec, {dim}D N={N} m={m} adjoint+forward (planar)",
+        "value": round(n / t, 1),
+        "unit": "points/sec",
+        "vs_baseline": None,
+        "extra": {
+            "n_points": n,
+            "seconds_per_pair": round(t, 4),
+            "plan_seconds": round(t_plan, 4),
+            "accuracy_gate_rel_l2_2d_n16": rel_err,
+            "accuracy_gate_ok": gate_ok,
+            "strategy": strategy,
+            "backend": jax.default_backend(),
+        },
+    }
+    print(json.dumps(result))
+    return 0 if gate_ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

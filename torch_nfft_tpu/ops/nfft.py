@@ -63,6 +63,19 @@ def _normalize_batch(batch, n, batch_size):
     return batch.astype(jnp.int32), int(batch_size)
 
 
+
+def _maybe_build_plan(strategy, plan, pos, batch, N, m, sigma, batch_size):
+    """strategy="binned" needs a concrete-point plan built before tracing."""
+    if strategy != "binned" or plan is not None:
+        return plan, strategy
+    if isinstance(pos, jax.core.Tracer):
+        return None, "scatter"
+    from .binned import build_plan
+
+    plan = build_plan(pos, batch, N=N, m=m, sigma=sigma, batch_size=batch_size)
+    return plan, "auto"
+
+
 # ---------------------------------------------------------------------------
 # Adjoint
 # ---------------------------------------------------------------------------
@@ -72,7 +85,7 @@ def _normalize_batch(batch, n, batch_size):
     jax.jit,
     static_argnames=("batch_size", "N", "m", "real_output", "sigma", "strategy"),
 )
-def _nfft_adjoint_impl(x, pos, batch, *, batch_size, N, m, real_output, sigma, strategy):
+def _nfft_adjoint_impl(x, pos, batch, plan, *, batch_size, N, m, real_output, sigma, strategy):
     n, dim = pos.shape
     M = int(round(sigma * N))
     trailing = x.shape[1:]
@@ -80,7 +93,7 @@ def _nfft_adjoint_impl(x, pos, batch, *, batch_size, N, m, real_output, sigma, s
     xf = x.reshape(n, C)
 
     with jax.named_scope("nfft_spread"):
-        g = spread(xf, pos, batch, batch_size, N, m, sigma, strategy)
+        g = spread(xf, pos, batch, batch_size, N, m, sigma, strategy, plan=plan)
         g = g.reshape((batch_size,) + (M,) * dim + (C,))
 
     with jax.named_scope("nfft_fft"):
@@ -111,6 +124,7 @@ def nfft_adjoint(
     m=None,
     sigma=DEFAULT_SIGMA,
     strategy="auto",
+    plan=None,
 ):
     """Adjoint NFFT: irregular samples -> centered spectral coefficients.
 
@@ -124,10 +138,12 @@ def nfft_adjoint(
     x = jnp.asarray(x)
     pos = jnp.asarray(pos)
     batch, batch_size = _normalize_batch(batch, pos.shape[0], batch_size)
+    plan, strategy = _maybe_build_plan(strategy, plan, pos, batch, N, m, sigma, batch_size)
     return _nfft_adjoint_impl(
         x,
         pos,
         batch,
+        plan,
         batch_size=batch_size,
         N=N,
         m=m,
@@ -146,7 +162,7 @@ def nfft_adjoint(
     jax.jit,
     static_argnames=("batch_size", "dim", "m", "real_output", "sigma", "strategy"),
 )
-def _nfft_forward_impl(x, pos, batch, *, batch_size, dim, m, real_output, sigma, strategy):
+def _nfft_forward_impl(x, pos, batch, plan, *, batch_size, dim, m, real_output, sigma, strategy):
     N = x.shape[1]
     M = int(round(sigma * N))
     trailing = x.shape[1 + dim :]
@@ -165,7 +181,7 @@ def _nfft_forward_impl(x, pos, batch, *, batch_size, dim, m, real_output, sigma,
 
     with jax.named_scope("nfft_gather"):
         g_flat = g.reshape(batch_size * M**dim, C)
-        y = gather(g_flat, pos, batch, batch_size, N, m, sigma, strategy)
+        y = gather(g_flat, pos, batch, batch_size, N, m, sigma, strategy, plan=plan)
 
     y = y.reshape((pos.shape[0],) + trailing)
     return y.real if real_output else y
@@ -182,6 +198,7 @@ def nfft_forward(
     m=None,
     sigma=DEFAULT_SIGMA,
     strategy="auto",
+    plan=None,
 ):
     """Forward NFFT: centered spectral coefficients -> irregular samples.
 
@@ -198,10 +215,14 @@ def nfft_forward(
         raise ValueError(
             f"x.shape[0] = {x.shape[0]} must equal batch_size = {batch_size}"
         )
+    plan, strategy = _maybe_build_plan(
+        strategy, plan, pos, batch, x.shape[1], m, sigma, batch_size
+    )
     return _nfft_forward_impl(
         x,
         pos,
         batch,
+        plan,
         batch_size=batch_size,
         dim=dim,
         m=m,
@@ -227,6 +248,8 @@ def _nfft_fastsum_impl(
     targets,
     source_batch,
     target_batch,
+    source_plan,
+    target_plan,
     *,
     batch_size,
     N,
@@ -243,7 +266,7 @@ def _nfft_fastsum_impl(
     cdtype = jnp.result_type(_complex_dtype_for(x), _complex_dtype_for(coeffs))
 
     with jax.named_scope("fastsum_spread"):
-        g = spread(xf, sources, source_batch, batch_size, N, m, sigma, strategy)
+        g = spread(xf, sources, source_batch, batch_size, N, m, sigma, strategy, plan=source_plan)
         g = g.reshape((batch_size,) + (M,) * dim + (C,))
 
     with jax.named_scope("fastsum_fft_adjoint"):
@@ -262,7 +285,7 @@ def _nfft_fastsum_impl(
 
     with jax.named_scope("fastsum_gather"):
         g2_flat = g2.reshape(batch_size * M**dim, C)
-        y = gather(g2_flat, targets, target_batch, batch_size, N, m, sigma, strategy)
+        y = gather(g2_flat, targets, target_batch, batch_size, N, m, sigma, strategy, plan=target_plan)
 
     y = y.reshape((targets.shape[0],) + trailing)
     if not jnp.issubdtype(x.dtype, jnp.complexfloating):
@@ -285,6 +308,8 @@ def nfft_fastsum(
     m=None,
     sigma=DEFAULT_SIGMA,
     strategy="auto",
+    source_plan=None,
+    target_plan=None,
 ):
     """Fast multiplication with a trigonometric kernel (Gram) matrix.
 
@@ -302,6 +327,8 @@ def nfft_fastsum(
     if targets is None:
         targets = sources
         target_batch = source_batch
+        if target_plan is None:
+            target_plan = source_plan
     targets = jnp.asarray(targets)
     if batch is not None:
         source_batch = batch
@@ -323,6 +350,19 @@ def nfft_fastsum(
             f"source batch size {bs_src} != target batch size {bs_tgt}"
         )
 
+    source_plan, strat_src = _maybe_build_plan(
+        strategy, source_plan, sources, source_batch, N, m_, sigma, bs_src
+    )
+    if symmetric and strat_src != strategy:
+        target_plan = target_plan if target_plan is not None else source_plan
+        strategy = strat_src
+    elif not symmetric:
+        target_plan, strategy = _maybe_build_plan(
+            strategy, target_plan, targets, target_batch, N, m_, sigma, bs_tgt
+        )
+    else:
+        strategy = strat_src
+
     return _nfft_fastsum_impl(
         x,
         coeffs,
@@ -330,6 +370,8 @@ def nfft_fastsum(
         targets,
         source_batch,
         target_batch,
+        source_plan,
+        target_plan,
         batch_size=bs_src,
         N=N,
         m=m_,

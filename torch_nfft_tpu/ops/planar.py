@@ -46,6 +46,7 @@ def nfft_adjoint_planar(
     x,
     pos,
     batch,
+    plan=None,
     *,
     batch_size,
     N,
@@ -62,7 +63,7 @@ def nfft_adjoint_planar(
     C = x.shape[1]
 
     with jax.named_scope("nfft_spread"):
-        g = spread(x, pos, batch, batch_size, N, m, sigma, strategy)
+        g = spread(x, pos, batch, batch_size, N, m, sigma, strategy, plan=plan)
         g = g.reshape((batch_size,) + (M,) * dim + (C,))
 
     with jax.named_scope("nfft_fft"):
@@ -83,6 +84,7 @@ def nfft_forward_planar(
     xi,
     pos,
     batch,
+    plan=None,
     *,
     batch_size,
     dim,
@@ -118,7 +120,7 @@ def nfft_forward_planar(
             [gr.reshape(batch_size * M**dim, C), gi.reshape(batch_size * M**dim, C)],
             axis=1,
         )
-        y = gather(g2, pos, batch, batch_size, N, m, sigma, strategy)
+        y = gather(g2, pos, batch, batch_size, N, m, sigma, strategy, plan=plan)
     return y[:, :C], y[:, C:]
 
 
@@ -133,6 +135,8 @@ def nfft_fastsum_real(
     targets,
     source_batch,
     target_batch,
+    source_plan=None,
+    target_plan=None,
     *,
     batch_size,
     N,
@@ -152,7 +156,7 @@ def nfft_fastsum_real(
     axes = tuple(range(1, dim + 1))
 
     with jax.named_scope("fastsum_spread"):
-        g = spread(x, sources, source_batch, batch_size, N, m, sigma, strategy)
+        g = spread(x, sources, source_batch, batch_size, N, m, sigma, strategy, plan=source_plan)
         g = g.reshape((batch_size,) + (M,) * dim + (C,))
 
     with jax.named_scope("fastsum_fft_adjoint"):
@@ -177,5 +181,6 @@ def nfft_fastsum_real(
             m,
             sigma,
             strategy,
+            plan=target_plan,
         )
     return y

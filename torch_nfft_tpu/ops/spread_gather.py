@@ -282,6 +282,7 @@ def spread(
     sigma: float = 2.0,
     strategy: str = "auto",
     point_chunk: int | None = None,
+    plan=None,
 ) -> jax.Array:
     """Window-convolve irregular samples onto the oversampled grid.
 
@@ -295,7 +296,19 @@ def spread(
     """
     n, dim = pos.shape
     M = int(round(sigma * N))
+    if plan is not None:
+        from .binned import spread_binned
+
+        return spread_binned(plan, x, pos, batch_size=batch_size)
     strat = _pick_strategy(strategy, n, dim, batch_size, M, x.shape[1])
+    if strat == "binned":
+        if isinstance(pos, jax.core.Tracer):
+            strat = "scatter"  # plans need concrete points; scatter is exact
+        else:
+            from .binned import build_plan, spread_binned
+
+            plan = build_plan(pos, batch, N=N, m=m, sigma=sigma, batch_size=batch_size)
+            return spread_binned(plan, x, pos, batch_size=batch_size)
     if strat == "matmul":
         return _spread_matmul(x, pos, batch, batch_size, N, m, sigma)
     if strat == "pallas":
@@ -315,6 +328,7 @@ def gather(
     sigma: float = 2.0,
     strategy: str = "auto",
     point_chunk: int | None = None,
+    plan=None,
 ) -> jax.Array:
     """Interpolate grid values back to irregular points (transpose of spread).
 
@@ -325,7 +339,19 @@ def gather(
     """
     n, dim = pos.shape
     M = int(round(sigma * N))
+    if plan is not None:
+        from .binned import gather_binned
+
+        return gather_binned(plan, g_flat, pos)
     strat = _pick_strategy(strategy, n, dim, batch_size, M, g_flat.shape[1])
+    if strat == "binned":
+        if isinstance(pos, jax.core.Tracer):
+            strat = "scatter"
+        else:
+            from .binned import build_plan, gather_binned
+
+            plan = build_plan(pos, batch, N=N, m=m, sigma=sigma, batch_size=batch_size)
+            return gather_binned(plan, g_flat, pos)
     if strat == "matmul":
         return _gather_matmul(g_flat, pos, batch, batch_size, N, m, sigma)
     if strat == "pallas":
