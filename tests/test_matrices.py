@@ -133,3 +133,25 @@ def test_adjacency_transpose_left_right(rng):
     lhs = float(y0 @ np.asarray(adj @ x))
     rhs = float(np.asarray(adjT @ y0) @ x)
     assert abs(lhs - rhs) / abs(lhs) < 1e-4
+
+
+def test_gram_plan_cache_matches_unplanned(rng):
+    """GramMatrix plan caching (binned path) gives identical matvecs."""
+    import torch_nfft_tpu as tn
+    from torch_nfft_tpu.models.matrices import GramMatrix
+
+    n, dim, N, m = 96, 2, 8, 3
+    pos = (rng.random((n, dim)) - 0.5).astype(np.float32) / 2
+    coeffs = tn.gaussian_analytic_coeffs(0.25, dim=dim, N=N)
+    x = rng.standard_normal((n, 2)).astype(np.float32)
+
+    mat = GramMatrix(coeffs, pos, cutoff=m)
+    ref = mat @ x
+    assert mat._plan_cache == (None, None)  # below threshold: no plans
+
+    mat2 = GramMatrix(coeffs, pos, cutoff=m)
+    mat2._PLAN_THRESHOLD = 1  # force planning
+    got = mat2 @ x
+    assert mat2._plan_cache[0] is not None
+    assert mat2._plan_cache[1] is mat2._plan_cache[0]  # symmetric: shared
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)

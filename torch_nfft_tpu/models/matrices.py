@@ -104,8 +104,38 @@ class GramMatrix(AbstractMatrix):
         self.target_batch = target_batch
         self.cutoff = int(cutoff)
         self.batch_size = batch_size
+        self._plan_cache = None
+
+    # Matvecs reuse the same point sets, so the binned spread/gather plan
+    # (ops/binned.py) is built once and amortized — the FFTW-plan pattern.
+    # Small point sets skip planning (scatter/matmul are already fast there).
+    _PLAN_THRESHOLD = 2048
+
+    def _plans(self):
+        if self._plan_cache is None:
+            src, tgt = self.sources, self.targets
+            if (
+                isinstance(src, jax.core.Tracer)
+                or isinstance(tgt, jax.core.Tracer)
+                or src.shape[0] < self._PLAN_THRESHOLD
+            ):
+                self._plan_cache = (None, None)
+            else:
+                from ..ops.binned import build_plan
+
+                N = self.coeffs.shape[0]
+                kw = dict(N=N, m=self.cutoff, batch_size=self.batch_size)
+                sp = build_plan(src, self.source_batch, **kw)
+                tp = (
+                    sp
+                    if (self._symmetric and self.source_batch is self.target_batch)
+                    else build_plan(tgt, self.target_batch, **kw)
+                )
+                self._plan_cache = (sp, tp)
+        return self._plan_cache
 
     def apply(self, x):
+        source_plan, target_plan = self._plans()
         return nfft_fastsum(
             x,
             self.coeffs,
@@ -115,6 +145,8 @@ class GramMatrix(AbstractMatrix):
             self.target_batch,
             cutoff=self.cutoff,
             batch_size=self.batch_size,
+            source_plan=source_plan,
+            target_plan=target_plan,
         )
 
     def is_symmetric(self):

@@ -130,6 +130,43 @@ def build_plan(
     T = min(T, M)
     nb = -(-M // T)  # tiles per axis
 
+    # The native (C++) counting-sort builder constructs the tables in
+    # O(n + bins) without a comparison sort; NumPy below is the fallback.
+    from ..native import plan_tables
+
+    def _pick_K(counts):
+        occ = counts[counts > 0]
+        mean_occ = float(occ.mean()) if occ.size else 1.0
+        return min(512, max(8, _next_pow2(math.ceil(mean_occ))))
+
+    native = plan_tables(
+        pos,
+        batch.astype(np.int32),
+        M,
+        m,
+        T,
+        nb,
+        None if K is None else int(K),
+        batch_size,
+        pick_K=_pick_K,
+    )
+    if native is not None:
+        (slot_pt, slot_valid, origin, row_batch, inv_slot), K_used = native
+        return BinnedPlan(
+            slot_pt=jnp.asarray(slot_pt),
+            slot_valid=jnp.asarray(slot_valid),
+            origin=jnp.asarray(origin),
+            row_batch=jnp.asarray(row_batch),
+            inv_slot=jnp.asarray(inv_slot),
+            n=n,
+            dim=dim,
+            N=N,
+            m=m,
+            sigma=float(sigma),
+            T=int(T),
+            K=int(K_used),
+        )
+
     # window start cell, wrapped; tile index and tile id per point
     s_mod = (np.floor(pos * M).astype(np.int64) - m) % M  # (n, dim)
     b = s_mod // T  # (n, dim)
