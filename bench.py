@@ -55,8 +55,17 @@ def _accuracy_gate():
 
 
 def main():
+    # Persistent compile cache: axon remote-compiles through the tunnel
+    # (minutes when cold); cached executables make reruns seconds.
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
     import jax
     import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from torch_nfft_tpu.ops.planar import nfft_adjoint_planar, nfft_forward_planar
 

@@ -18,10 +18,11 @@ what the hardware is good at — dense contractions:
    (``spatial_window_operations.cu:68-97`` semantics, including the
    [0, 2m+2) truncation), and the row's halo tile is formed by the dense
    separable contraction ``tile[u,v,w] = sum_k x_k A0[k,u] A1[k,v] A2[k,w]``
-   — matmuls/VPU work instead of pointwise scatter. One scatter-add of
-   whole tiles (rows x H^dim elements, ~W/K times fewer updates than the
-   pointwise form) lands them on the oversampled grid. The gather runs the
-   same contraction in reverse off dense tile reads.
+   — matmuls/VPU work instead of pointwise scatter. Whole tiles then move
+   with ONE index per row (windowed lax.scatter_add / lax.gather on a
+   periodically-extended grid), ~K*(2m+2)^dim fewer scatter indices than the
+   reference's per-(point, cell) atomicAdd. The gather runs the same
+   contraction in reverse off windowed tile reads.
 
 Everything in execute is jnp, so gradients w.r.t. both the values and the
 point positions flow (the plan is integer-only data).
@@ -41,6 +42,15 @@ import jax.numpy as jnp
 from .window import window_inv_b, window_inv_sqrt_b_pi
 
 __all__ = ["BinnedPlan", "build_plan", "spread_binned", "gather_binned"]
+
+# High-precision contractions: TPU default (single bf16 pass) costs ~4e-3
+# relative error, far above the NFFT window error budget. HIGH (3-pass bf16)
+# restores ~f32 accuracy at half the cost of HIGHEST.
+_P = jax.lax.Precision.HIGH
+
+
+def _es(spec, *ops):
+    return jnp.einsum(spec, *ops, precision=_P)
 
 
 def _next_pow2(v: int) -> int:
@@ -261,26 +271,73 @@ def _row_windows(plan: BinnedPlan, pos_s, origin):
     return A  # (R, K, dim, H)
 
 
-def _tile_flat_indices(plan: BinnedPlan, origin, row_batch):
-    """Flat grid indices of each row's halo tile: (R, H^dim) int32."""
-    M, H, dim = plan.M, plan.H, plan.dim
-    R = origin.shape[0]
-    u = jnp.arange(H, dtype=jnp.int32)
-    idx = jnp.zeros((R,) + (1,) * dim, jnp.int32)
-    for d in range(dim):
-        cell = (origin[:, d][:, None] + u[None, :]) % M  # (R, H)
-        shape = (R,) + tuple(H if e == d else 1 for e in range(dim))
-        idx = idx * M + cell.reshape(shape)  # broadcasts into (R, H, ..., H)
-    idx = idx.reshape(R, H**dim)
-    return row_batch[:, None] * (M**dim) + idx
-
-
 def _pick_row_chunk(S: int, K: int, H: int, dim: int, C: int, itemsize: int) -> int:
     """Rows per chunk keeping the largest intermediate under ~256 MB."""
     inner = max(K * (H ** max(1, dim - 1)) * C, H**dim * C)
     budget = 1 << 28
     chunk = max(1, budget // max(1, inner * itemsize))
     return int(min(S, chunk))
+
+
+# ---------------------------------------------------------------------------
+# Windowed tile movement: whole (H,)*dim halo tiles move between rows and a
+# periodically-extended grid with ONE index per row (lax.gather /
+# lax.scatter_add with window dims), instead of one index per element —
+# measured ~10x faster on TPU than element scatter/take at 3D N=256 scale.
+# The extension of length H per axis absorbs the periodic wrap; spread folds
+# the borders back with dim slice-adds.
+# ---------------------------------------------------------------------------
+
+
+def _row_starts(plan: BinnedPlan, origin, row_batch):
+    """lax scatter/gather start indices (R, 1 + dim): [batch, origin...]."""
+    return jnp.concatenate([row_batch[:, None], origin], axis=1)
+
+
+def _extend_grid(g, plan: BinnedPlan):
+    """Append the first H cells of each spatial axis: periodic windows become
+    plain in-bounds windows. g: (B, C, M, ..., M) -> (B, C, M+H, ..., M+H).
+    Handles H > M (tiny grids) by tiling extra periods."""
+    M, H = plan.M, plan.H
+    reps = 1 + -(-H // M)
+    for ax in range(2, 2 + plan.dim):
+        full = jnp.concatenate([g] * reps, axis=ax) if reps > 1 else g
+        g = jax.lax.slice_in_dim(full, 0, M + H, axis=ax)
+    return g
+
+
+def _fold_extension(ge, plan: BinnedPlan):
+    """Inverse of :func:`_extend_grid` for accumulated (scattered) data:
+    wrap each axis's extension back onto the body, then trim."""
+    M, H = plan.M, plan.H
+    for ax in range(2, 2 + plan.dim):
+        body = jax.lax.slice_in_dim(ge, 0, M, axis=ax)
+        off = M
+        while off < M + H:
+            ln = min(M, M + H - off)
+            ext = jax.lax.slice_in_dim(ge, off, off + ln, axis=ax)
+            pad = [(0, 0)] * body.ndim
+            pad[ax] = (0, M - ln)
+            body = body + jnp.pad(ext, pad)
+            off += M
+        ge = body
+    return ge
+
+
+def _gather_dnums(dim: int):
+    return jax.lax.GatherDimensionNumbers(
+        offset_dims=tuple(range(1, dim + 3)),  # (1=batch-window, 2=C, spatial)
+        collapsed_slice_dims=(),
+        start_index_map=tuple([0] + list(range(2, dim + 2))),
+    )
+
+
+def _scatter_dnums(dim: int):
+    return jax.lax.ScatterDimensionNumbers(
+        update_window_dims=tuple(range(1, dim + 3)),
+        inserted_window_dims=(),
+        scatter_dims_to_operand_dims=tuple([0] + list(range(2, dim + 2))),
+    )
 
 
 @partial(jax.jit, static_argnames=("batch_size",))
@@ -303,42 +360,53 @@ def spread_binned(plan: BinnedPlan, x, pos, *, batch_size: int):
     origin = jnp.pad(plan.origin, ((0, S_pad - S), (0, 0)))
     row_batch = jnp.pad(plan.row_batch, (0, S_pad - S))
 
-    g = jnp.zeros((batch_size * M**dim, C), dtype=x.dtype)
+    def tiles_for(pt, vmask, org):
+        """Row halo tiles, C-major: (R, C, (H,)*dim)."""
+        xs = jnp.take(x, pt, axis=0) * vmask[..., None].astype(x.dtype)  # (R,K,C)
+        pos_s = jnp.take(pos, pt, axis=0)  # (R,K,dim)
+        A = _row_windows(plan, pos_s, org).astype(x.real.dtype)  # (R,K,dim,H)
+        if dim == 1:
+            return _es("rku,rkc->rcu", A[:, :, 0], xs)
+        if dim == 2:
+            t1 = _es("rkv,rkc->rkcv", A[:, :, 1], xs)
+            return _es("rku,rkcv->rcuv", A[:, :, 0], t1)
+        t1 = _es("rkw,rkc->rkcw", A[:, :, 2], xs)
+        t2 = _es("rkv,rkcw->rkcvw", A[:, :, 1], t1)
+        return _es("rku,rkcvw->rcuvw", A[:, :, 0], t2)
 
-    def body(i, g_acc):
+    Mx = M + H
+    ge = jnp.zeros((batch_size, C) + (Mx,) * dim, dtype=x.dtype)
+    dnums = _scatter_dnums(dim)
+
+    def body(i, ge_acc):
         sl = i * R
         pt = jax.lax.dynamic_slice_in_dim(slot_pt, sl, R, 0)
         vmask = jax.lax.dynamic_slice_in_dim(slot_valid, sl, R, 0)
         org = jax.lax.dynamic_slice_in_dim(origin, sl, R, 0)
         rb = jax.lax.dynamic_slice_in_dim(row_batch, sl, R, 0)
-
-        xs = jnp.take(x, pt, axis=0) * vmask[..., None].astype(x.dtype)  # (R,K,C)
-        pos_s = jnp.take(pos, pt, axis=0)  # (R,K,dim)
-        A = _row_windows(plan, pos_s, org).astype(x.real.dtype)  # (R,K,dim,H)
-
-        if dim == 1:
-            tiles = jnp.einsum("rku,rkc->ruc", A[:, :, 0], xs)
-        elif dim == 2:
-            t1 = jnp.einsum("rkv,rkc->rkvc", A[:, :, 1], xs)
-            tiles = jnp.einsum("rku,rkvc->ruvc", A[:, :, 0], t1)
-        else:
-            t1 = jnp.einsum("rkw,rkc->rkwc", A[:, :, 2], xs)
-            t2 = jnp.einsum("rkv,rkwc->rkvwc", A[:, :, 1], t1)
-            tiles = jnp.einsum("rku,rkvwc->ruvwc", A[:, :, 0], t2)
-
-        flat = _tile_flat_indices(plan, org, rb)  # (R, H^dim)
-        return g_acc.at[flat.reshape(-1)].add(
-            tiles.reshape(-1, C), mode="drop", unique_indices=False
+        tiles = tiles_for(pt, vmask, org)
+        updates = tiles[:, None]  # (R, 1, C, (H,)*dim)
+        starts = _row_starts(plan, org, rb)
+        return jax.lax.scatter_add(
+            ge_acc,
+            starts,
+            updates,
+            dnums,
+            mode=jax.lax.GatherScatterMode.CLIP,
         )
 
-    return jax.lax.fori_loop(0, n_chunks, body, g)
+    ge = jax.lax.fori_loop(0, n_chunks, body, ge)
+    g = _fold_extension(ge, plan)  # (B, C, (M,)*dim)
+    # pipeline layout: (B * M^dim, C)
+    g = jnp.moveaxis(g, 1, -1)
+    return g.reshape(batch_size * M**dim, C)
 
 
 @jax.jit
 def gather_binned(plan: BinnedPlan, g_flat, pos):
     """Gather from the flat grid back to the points: (n, C). Transpose of
     :func:`spread_binned` (same tiles, contraction reversed)."""
-    dim, H, K = plan.dim, plan.H, plan.K
+    dim, H, K, M = plan.dim, plan.H, plan.K, plan.M
     C = g_flat.shape[1]
     S = plan.slot_pt.shape[0]
     R = _pick_row_chunk(S, K, H, dim, C, jnp.dtype(g_flat.dtype).itemsize)
@@ -350,6 +418,31 @@ def gather_binned(plan: BinnedPlan, g_flat, pos):
     origin = jnp.pad(plan.origin, ((0, S_pad - S), (0, 0)))
     row_batch = jnp.pad(plan.row_batch, (0, S_pad - S))
 
+    # batch_size is recoverable from the grid length (static shapes)
+    batch_size = g_flat.shape[0] // M**dim
+
+    # (B*M^dim, C) -> (B, C, (M,)*dim) -> periodic extension for windowing
+    gx = g_flat.reshape((batch_size,) + (M,) * dim + (C,))
+    gx = jnp.moveaxis(gx, -1, 1)
+    gx = _extend_grid(gx, plan)
+    dnums = _gather_dnums(dim)
+    slice_sizes = (1, C) + (H,) * dim
+
+    def row_values(pt, vmask, org, tiles):
+        """tiles: (R, C, (H,)*dim) -> per-slot values (R, K, C)."""
+        pos_s = jnp.take(pos, pt, axis=0)
+        A = _row_windows(plan, pos_s, org).astype(g_flat.real.dtype)
+        if dim == 1:
+            y = _es("rku,rcu->rkc", A[:, :, 0], tiles)
+        elif dim == 2:
+            t1 = _es("rku,rcuv->rkcv", A[:, :, 0], tiles)
+            y = _es("rkv,rkcv->rkc", A[:, :, 1], t1)
+        else:
+            t1 = _es("rku,rcuvw->rkcvw", A[:, :, 0], tiles)
+            t2 = _es("rkv,rkcvw->rkcw", A[:, :, 1], t1)
+            y = _es("rkw,rkcw->rkc", A[:, :, 2], t2)
+        return y * vmask[..., None].astype(y.dtype)
+
     out = jnp.zeros((S_pad * K, C), dtype=g_flat.dtype)
 
     def body(i, out_acc):
@@ -359,25 +452,13 @@ def gather_binned(plan: BinnedPlan, g_flat, pos):
         org = jax.lax.dynamic_slice_in_dim(origin, sl, R, 0)
         rb = jax.lax.dynamic_slice_in_dim(row_batch, sl, R, 0)
 
-        pos_s = jnp.take(pos, pt, axis=0)
-        A = _row_windows(plan, pos_s, org).astype(g_flat.real.dtype)
+        starts = _row_starts(plan, org, rb)
+        tiles = jax.lax.gather(
+            gx, starts, dnums, slice_sizes=slice_sizes,
+            mode=jax.lax.GatherScatterMode.CLIP,
+        )[:, 0]  # (R, C, (H,)*dim)
 
-        flat = _tile_flat_indices(plan, org, rb)
-        tiles = jnp.take(g_flat, flat.reshape(-1), axis=0).reshape(
-            (R,) + (H,) * dim + (C,)
-        )
-
-        if dim == 1:
-            y = jnp.einsum("rku,ruc->rkc", A[:, :, 0], tiles)
-        elif dim == 2:
-            t1 = jnp.einsum("rku,ruvc->rkvc", A[:, :, 0], tiles)
-            y = jnp.einsum("rkv,rkvc->rkc", A[:, :, 1], t1)
-        else:
-            t1 = jnp.einsum("rku,ruvwc->rkvwc", A[:, :, 0], tiles)
-            t2 = jnp.einsum("rkv,rkvwc->rkwc", A[:, :, 1], t1)
-            y = jnp.einsum("rkw,rkwc->rkc", A[:, :, 2], t2)
-
-        y = y * vmask[..., None].astype(y.dtype)
+        y = row_values(pt, vmask, org, tiles)
         return jax.lax.dynamic_update_slice_in_dim(
             out_acc, y.reshape(R * K, C), sl * K, 0
         )

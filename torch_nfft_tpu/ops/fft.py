@@ -73,21 +73,30 @@ def _split(M: int):
     return m1, M // m1
 
 
+# TPU MXUs multiply f32 operands in bf16 passes by default; the DFT needs
+# high-precision products or the transform error (~4e-3 in bf16) swamps the
+# NFFT window error (~1e-4 at m=4). HIGH = 3-pass bf16 (~f32 accuracy) at
+# half the cost of HIGHEST.
+MATMUL_PRECISION = jax.lax.Precision.HIGH
+
+
+def _mm(a, b):
+    return jnp.matmul(
+        a, b, preferred_element_type=a.dtype, precision=MATMUL_PRECISION
+    )
+
+
 def _dft_last_direct(xr, xi, M: int, sign: int):
     cos_np, sin_np = _dft_mats_np(M, sign)
     C = jnp.asarray(cos_np, dtype=xr.dtype)
     S = jnp.asarray(sin_np, dtype=xr.dtype) * sign
     # y = x @ (C + i S): 3-4 real matmuls on the MXU.
     if xi is None:
-        yr = jnp.matmul(xr, C, preferred_element_type=xr.dtype)
-        yi = jnp.matmul(xr, S, preferred_element_type=xr.dtype)
+        yr = _mm(xr, C)
+        yi = _mm(xr, S)
     else:
-        yr = jnp.matmul(xr, C, preferred_element_type=xr.dtype) - jnp.matmul(
-            xi, S, preferred_element_type=xr.dtype
-        )
-        yi = jnp.matmul(xr, S, preferred_element_type=xr.dtype) + jnp.matmul(
-            xi, C, preferred_element_type=xr.dtype
-        )
+        yr = _mm(xr, C) - _mm(xi, S)
+        yi = _mm(xr, S) + _mm(xi, C)
     return yr, yi
 
 

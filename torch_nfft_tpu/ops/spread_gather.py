@@ -151,7 +151,7 @@ def _gather_scatter(g_flat, pos, batch, N, m, sigma, point_chunk):
     if point_chunk >= n:
         flat_idx, weights = window_weights_and_indices(pos, batch, N, m, sigma)
         vals = jnp.take(g_flat, flat_idx, axis=0)  # (n, W, C)
-        return jnp.einsum("nw,nwc->nc", weights.astype(vals.real.dtype), vals)
+        return jnp.einsum("nw,nwc->nc", weights.astype(vals.real.dtype), vals, precision=_P)
 
     n_chunks = -(-n // point_chunk)
     n_pad = n_chunks * point_chunk - n
@@ -166,7 +166,7 @@ def _gather_scatter(g_flat, pos, batch, N, m, sigma, point_chunk):
         flat_idx, weights = window_weights_and_indices(pos_c, batch_c, N, m, sigma)
         flat_idx = jnp.minimum(flat_idx, g_flat.shape[0] - 1)
         vals = jnp.take(g_flat, flat_idx, axis=0)
-        y_c = jnp.einsum("nw,nwc->nc", weights.astype(vals.real.dtype), vals)
+        y_c = jnp.einsum("nw,nwc->nc", weights.astype(vals.real.dtype), vals, precision=_P)
         return jax.lax.dynamic_update_slice_in_dim(y_acc, y_c, sl, 0)
 
     y = jax.lax.fori_loop(0, n_chunks, body, y)
@@ -200,18 +200,21 @@ def _onehot_rows(pos, batch, batch_size, N, m, sigma, fold_batch_dim):
         onehot = (
             cols[:, :, None] == jnp.arange(width, dtype=jnp.int32)[None, None, :]
         ).astype(psi.dtype)
-        mats.append(jnp.einsum("nl,nlw->nw", psi[:, d, :], onehot))
+        mats.append(jnp.einsum("nl,nlw->nw", psi[:, d, :], onehot, precision=_P))
     return mats
+
+
+_P = jax.lax.Precision.HIGHEST  # full-f32 MXU passes (see ops/fft.py)
 
 
 def _complex_matmul(a_real, b):
     """(n x k) real  @  (k x ...) possibly-complex, keeping MXU-friendly dtypes."""
     if jnp.issubdtype(b.dtype, jnp.complexfloating):
         return jax.lax.complex(
-            jnp.matmul(a_real, b.real, preferred_element_type=a_real.dtype),
-            jnp.matmul(a_real, b.imag, preferred_element_type=a_real.dtype),
+            jnp.matmul(a_real, b.real, preferred_element_type=a_real.dtype, precision=_P),
+            jnp.matmul(a_real, b.imag, preferred_element_type=a_real.dtype, precision=_P),
         ).astype(b.dtype)
-    return jnp.matmul(a_real, b, preferred_element_type=b.dtype)
+    return jnp.matmul(a_real, b, preferred_element_type=b.dtype, precision=_P)
 
 
 def _spread_matmul(x, pos, batch, batch_size, N, m, sigma):
@@ -249,11 +252,11 @@ def _gather_matmul(g_flat, pos, batch, batch_size, N, m, sigma):
     if dim == 2:
         t = _complex_matmul(mats[0], g_flat.reshape(batch_size * M, M * C))
         t = t.reshape(n, M, C)
-        return jnp.einsum("nu,nuc->nc", mats[1].astype(t.real.dtype), t)
+        return jnp.einsum("nu,nuc->nc", mats[1].astype(t.real.dtype), t, precision=_P)
     t = _complex_matmul(mats[0], g_flat.reshape(batch_size * M, M * M * C))
     t = t.reshape(n, M, M, C)
-    t = jnp.einsum("nu,nuvc->nvc", mats[1].astype(t.real.dtype), t)
-    return jnp.einsum("nv,nvc->nc", mats[2].astype(t.real.dtype), t)
+    t = jnp.einsum("nu,nuvc->nvc", mats[1].astype(t.real.dtype), t, precision=_P)
+    return jnp.einsum("nv,nvc->nc", mats[2].astype(t.real.dtype), t, precision=_P)
 
 
 # ---------------------------------------------------------------------------
