@@ -69,7 +69,7 @@ def main():
 
     from torch_nfft_tpu.ops.planar import nfft_adjoint_planar, nfft_forward_planar
 
-    n = int(os.environ.get("BENCH_N_POINTS", 1 << 20))
+    n = int(os.environ.get("BENCH_N_POINTS", 1 << 24))
     N = int(os.environ.get("BENCH_BANDWIDTH", 256))
     dim = int(os.environ.get("BENCH_DIM", 3))
     m = int(os.environ.get("BENCH_CUTOFF", 4))

@@ -147,7 +147,9 @@ def build_plan(
     def _pick_K(counts):
         occ = counts[counts > 0]
         mean_occ = float(occ.mean()) if occ.size else 1.0
-        return min(512, max(8, _next_pow2(math.ceil(mean_occ))))
+        # Large K keeps the windowed-tile count (and its per-window cost)
+        # independent of n; the einsum chunker bounds the memory.
+        return min(2048, max(8, _next_pow2(math.ceil(mean_occ))))
 
     native = plan_tables(
         pos,
@@ -194,7 +196,7 @@ def build_plan(
         # Row capacity: near the mean occupancy, clamped to a MXU-friendly
         # range. Rows per tile = ceil(count/K).
         mean_occ = n / max(1, len(uniq))
-        K = int(min(512, max(8, _next_pow2(math.ceil(mean_occ)))))
+        K = int(min(2048, max(8, _next_pow2(math.ceil(mean_occ)))))
 
     rows_per_bin = -(-counts // K)
     S = int(rows_per_bin.sum())
