@@ -53,3 +53,19 @@ def test_native_explicit_capacity(have_native, rng):
         np.asarray(a.slot_pt)[valid], np.asarray(b.slot_pt)[valid]
     )
     np.testing.assert_array_equal(np.asarray(a.inv_slot), np.asarray(b.inv_slot))
+
+
+def test_sorted_layout_consistency(have_native, rng):
+    """order/row_start/row_count describe the same assignment as slot_pt."""
+    n, dim, N, m, B = 300, 2, 16, 3, 2
+    pos = (rng.random((n, dim)) - 0.5).astype(np.float32)
+    batch = np.sort(rng.integers(0, B, n)).astype(np.int32)
+    plan = binned.build_plan(pos, batch, N=N, m=m, batch_size=B)
+    order = np.asarray(plan.order)
+    rs, rc = np.asarray(plan.row_start), np.asarray(plan.row_count)
+    pt, valid = np.asarray(plan.slot_pt), np.asarray(plan.slot_valid)
+    assert sorted(order.tolist()) == list(range(n))
+    for r in range(pt.shape[0]):
+        cnt = rc[r]
+        np.testing.assert_array_equal(order[rs[r] : rs[r] + cnt], pt[r, :cnt])
+        assert valid[r, :cnt].all() and not valid[r, cnt:].any()

@@ -68,7 +68,9 @@ int64_t nfft_plan_count(
 
 // Pass 2: fill the plan tables. S must equal the value returned by pass 1.
 // slot_pt (S, K) int32; slot_valid (S, K) float32; origin (S, dim) int32;
-// row_batch (S,) int32; inv_slot (n,) int32.
+// row_batch (S,) int32; inv_slot (n,) int32. Sorted layout for fused
+// kernels: order (n,) int32 = point ids in (batch, tile) order;
+// row_start/row_count (S,) int32 index contiguous runs of `order` per row.
 int32_t nfft_plan_fill(
     const int64_t* bin_of_point,
     const int64_t* counts,
@@ -83,7 +85,10 @@ int32_t nfft_plan_fill(
     float* slot_valid,
     int32_t* origin,
     int32_t* row_batch,
-    int32_t* inv_slot
+    int32_t* inv_slot,
+    int32_t* order,
+    int32_t* row_start,
+    int32_t* row_count
 ) {
     // exclusive prefix over bins -> start of each bin in the sorted order,
     // and the first row index of each bin.
@@ -102,7 +107,7 @@ int32_t nfft_plan_fill(
     std::memset(slot_pt, 0, sizeof(int32_t) * (size_t)S * K);
     std::memset(slot_valid, 0, sizeof(float) * (size_t)S * K);
 
-    // per-row origin + batch, decoded from the bin id
+    // per-row origin + batch (decoded from the bin id) and sorted-run extents
     int64_t q = 0;
     for (int64_t r = 0; r < S; ++r) {
         while (q + 1 < num_bins && bin_row[q + 1] <= r) ++q;
@@ -114,6 +119,10 @@ int32_t nfft_plan_fill(
             bid /= nb;
         }
         row_batch[r] = (int32_t)bid;
+        int64_t rank = r - bin_row[q];
+        row_start[r] = (int32_t)(bin_start[q] + rank * K);
+        int64_t cnt = counts[q] - rank * K;
+        row_count[r] = (int32_t)(cnt < K ? cnt : K);
     }
 
     // counting-sort placement directly into the slot tables
@@ -126,6 +135,7 @@ int32_t nfft_plan_fill(
         slot_pt[row * K + kk] = (int32_t)i;
         slot_valid[row * K + kk] = 1.0f;
         inv_slot[i] = (int32_t)(row * K + kk);
+        order[bin_start[b] + k] = (int32_t)i;
     }
     return 0;
 }

@@ -28,7 +28,7 @@ _LIB = None
 _TRIED = False
 
 _SOURCES = ["plan_builder.cpp"]
-_CACHE_TAG = "v1"
+_CACHE_TAG = "v2"
 
 
 def _build_lib() -> ctypes.CDLL | None:
@@ -136,6 +136,9 @@ def plan_tables(pos, batch, M, m, T, nb, K, batch_size, pick_K=None):
     origin = np.empty((S, dim), np.int32)
     row_batch = np.empty(S, np.int32)
     inv_slot = np.empty(n, np.int32)
+    order = np.empty(n, np.int32)
+    row_start = np.empty(S, np.int32)
+    row_count = np.empty(S, np.int32)
     rc = lib.nfft_plan_fill(
         _ptr(bin_of_point, ctypes.c_int64),
         _ptr(counts, ctypes.c_int64),
@@ -151,7 +154,10 @@ def plan_tables(pos, batch, M, m, T, nb, K, batch_size, pick_K=None):
         _ptr(origin, ctypes.c_int32),
         _ptr(row_batch, ctypes.c_int32),
         _ptr(inv_slot, ctypes.c_int32),
+        _ptr(order, ctypes.c_int32),
+        _ptr(row_start, ctypes.c_int32),
+        _ptr(row_count, ctypes.c_int32),
     )
     if rc != 0:
         return None
-    return (slot_pt, slot_valid, origin, row_batch, inv_slot), K
+    return (slot_pt, slot_valid, origin, row_batch, inv_slot, order, row_start, row_count), K

@@ -68,6 +68,11 @@ class BinnedPlan:
     origin: jax.Array  # (S, dim) int32 — tile origin cell per row
     row_batch: jax.Array  # (S,) int32
     inv_slot: jax.Array  # (n,) int32 — flat slot id per point
+    # sorted layout (for fused kernels): point ids in (batch, tile) order and
+    # the contiguous run of `order` belonging to each row
+    order: jax.Array  # (n,) int32
+    row_start: jax.Array  # (S,) int32
+    row_count: jax.Array  # (S,) int32
     # static
     n: int
     dim: int
@@ -92,6 +97,9 @@ class BinnedPlan:
             self.origin,
             self.row_batch,
             self.inv_slot,
+            self.order,
+            self.row_start,
+            self.row_count,
         )
         aux = (self.n, self.dim, self.N, self.m, self.sigma, self.T, self.K)
         return children, aux
@@ -163,13 +171,17 @@ def build_plan(
         pick_K=_pick_K,
     )
     if native is not None:
-        (slot_pt, slot_valid, origin, row_batch, inv_slot), K_used = native
+        (slot_pt, slot_valid, origin, row_batch, inv_slot, order, row_start,
+         row_count), K_used = native
         return BinnedPlan(
             slot_pt=jnp.asarray(slot_pt),
             slot_valid=jnp.asarray(slot_valid),
             origin=jnp.asarray(origin),
             row_batch=jnp.asarray(row_batch),
             inv_slot=jnp.asarray(inv_slot),
+            order=jnp.asarray(order),
+            row_start=jnp.asarray(row_start),
+            row_count=jnp.asarray(row_count),
             n=n,
             dim=dim,
             N=N,
@@ -234,6 +246,9 @@ def build_plan(
         origin=jnp.asarray(origin),
         row_batch=jnp.asarray(row_batch),
         inv_slot=jnp.asarray(inv_slot.astype(np.int32)),
+        order=jnp.asarray(order.astype(np.int32)),
+        row_start=jnp.asarray(row_start.astype(np.int32)),
+        row_count=jnp.asarray(row_count.astype(np.int32)),
         n=n,
         dim=dim,
         N=N,
@@ -342,13 +357,8 @@ def _scatter_dnums(dim: int):
     )
 
 
-@partial(jax.jit, static_argnames=("batch_size",))
-def spread_binned(plan: BinnedPlan, x, pos, *, batch_size: int):
-    """Spread x (n, C) onto the flat oversampled grid (batch_size*M^dim, C).
-
-    Exact same math as the scatter strategy (ops/spread_gather.py) — only the
-    execution schedule differs.
-    """
+def _spread_xla(plan: BinnedPlan, x, pos, batch_size: int):
+    """Differentiable XLA spread: chunked einsum tiles + windowed scatter."""
     dim, H, K = plan.dim, plan.H, plan.K
     M = plan.M
     C = x.shape[1]
@@ -404,8 +414,61 @@ def spread_binned(plan: BinnedPlan, x, pos, *, batch_size: int):
     return g.reshape(batch_size * M**dim, C)
 
 
-@jax.jit
-def gather_binned(plan: BinnedPlan, g_flat, pos):
+def _use_pallas(plan: BinnedPlan, C: int, dtype) -> bool:
+    if jnp.issubdtype(dtype, jnp.complexfloating):
+        return False
+    from .pallas.contract import pallas_supported
+
+    return pallas_supported(plan, C)
+
+
+def _spread_pallas(plan: BinnedPlan, x, pos, batch_size: int):
+    """Fused Pallas tiles + one windowed scatter."""
+    from .pallas.contract import spread_tiles_pallas
+
+    dim, H, M, C = plan.dim, plan.H, plan.M, x.shape[1]
+    tiles = spread_tiles_pallas(plan, x.astype(jnp.float32), pos, C=C)
+    updates = tiles.reshape((tiles.shape[0], 1, C) + (H,) * dim).astype(x.dtype)
+    starts = _row_starts(plan, plan.origin, plan.row_batch)
+    ge = jnp.zeros((batch_size, C) + (M + H,) * dim, dtype=x.dtype)
+    ge = jax.lax.scatter_add(
+        ge, starts, updates, _scatter_dnums(dim), mode=jax.lax.GatherScatterMode.CLIP
+    )
+    g = _fold_extension(ge, plan)
+    g = jnp.moveaxis(g, 1, -1)
+    return g.reshape(batch_size * M**dim, C)
+
+
+@partial(jax.jit, static_argnames=("batch_size",))
+def spread_binned(plan: BinnedPlan, x, pos, *, batch_size: int):
+    """Spread x (n, C) onto the flat oversampled grid (batch_size*M^dim, C).
+
+    Exact same math as the scatter strategy (ops/spread_gather.py) — only the
+    execution schedule differs. On TPU (3D) the tile contraction runs as a
+    fused Pallas kernel; its custom VJP falls back to the differentiable XLA
+    path, so gradients (incl. positions) are always available.
+    """
+    if not _use_pallas(plan, x.shape[1], x.dtype):
+        return _spread_xla(plan, x, pos, batch_size)
+
+    @jax.custom_vjp
+    def f(x, pos):
+        return _spread_pallas(plan, x, pos, batch_size)
+
+    def f_fwd(x, pos):
+        return f(x, pos), (x, pos)
+
+    def f_bwd(res, g):
+        xr, posr = res
+        _, vjp = jax.vjp(lambda a, b: _spread_xla(plan, a, b, batch_size), xr, posr)
+        return vjp(g)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(x, pos)
+
+
+def _gather_xla(plan: BinnedPlan, g_flat, pos):
+
     """Gather from the flat grid back to the points: (n, C). Transpose of
     :func:`spread_binned` (same tiles, contraction reversed)."""
     dim, H, K, M = plan.dim, plan.H, plan.K, plan.M
@@ -467,3 +530,50 @@ def gather_binned(plan: BinnedPlan, g_flat, pos):
 
     out = jax.lax.fori_loop(0, n_chunks, body, out)
     return jnp.take(out, plan.inv_slot, axis=0)
+
+
+def _gather_pallas(plan: BinnedPlan, g_flat, pos):
+    from .pallas.contract import gather_points_pallas
+
+    dim, H, M, K = plan.dim, plan.H, plan.M, plan.K
+    C = g_flat.shape[1]
+    batch_size = g_flat.shape[0] // M**dim
+    gx = g_flat.reshape((batch_size,) + (M,) * dim + (C,))
+    gx = jnp.moveaxis(gx, -1, 1)
+    gx = _extend_grid(gx, plan)
+    starts = _row_starts(plan, plan.origin, plan.row_batch)
+    tiles = jax.lax.gather(
+        gx,
+        starts,
+        _gather_dnums(dim),
+        slice_sizes=(1, C) + (H,) * dim,
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )[:, 0]  # (S, C, (H,)*dim)
+    S = tiles.shape[0]
+    tiles = tiles.reshape(S, C, H, H * H).astype(jnp.float32)
+    y = gather_points_pallas(plan, tiles, pos, C=C)  # (S, C, K)
+    out = jnp.swapaxes(y, 1, 2).reshape(S * K, C).astype(g_flat.dtype)
+    return jnp.take(out, plan.inv_slot, axis=0)
+
+
+@jax.jit
+def gather_binned(plan: BinnedPlan, g_flat, pos):
+    """Gather from the flat grid back to the points: (n, C). Transpose of
+    :func:`spread_binned`; Pallas-fused on TPU (3D), XLA otherwise."""
+    if not _use_pallas(plan, g_flat.shape[1], g_flat.dtype):
+        return _gather_xla(plan, g_flat, pos)
+
+    @jax.custom_vjp
+    def f(g_flat, pos):
+        return _gather_pallas(plan, g_flat, pos)
+
+    def f_fwd(g_flat, pos):
+        return f(g_flat, pos), (g_flat, pos)
+
+    def f_bwd(res, g):
+        gr, posr = res
+        _, vjp = jax.vjp(lambda a, b: _gather_xla(plan, a, b), gr, posr)
+        return vjp(g)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(g_flat, pos)
