@@ -96,3 +96,13 @@ def test_unknown_norm_raises(rng):
     pts = rng.random((10, 2), dtype=np.float32)
     with pytest.raises(ValueError):
         tn.compute_points_radius(pts, norm="manhattan")
+
+
+def test_accuracy_check(rng):
+    import torch_nfft_tpu as tn
+
+    pos = (rng.random((500, 2)) - 0.5).astype(np.float32) / 2
+    err = tn.accuracy_check(pos, bandwidth=16, cutoff=4, sample_points=128)
+    assert err < 1e-3
+    err3 = tn.accuracy_check(pos, bandwidth=16, cutoff=2, sample_points=128)
+    assert err3 > err  # smaller cutoff, larger error

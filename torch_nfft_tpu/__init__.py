@@ -33,6 +33,7 @@ from .ops.planar import (
     nfft_forward_planar,
 )
 from . import parallel
+from .utils.diagnostics import accuracy_check
 from .utils.points import (
     compute_points_center,
     compute_points_radius,
@@ -64,6 +65,7 @@ __all__ = [
     "AdjacencyMatrix",
     "AbstractMatrix",
     "GaussianKernel",
+    "accuracy_check",
     "compute_points_center",
     "compute_points_radius",
     "shift_points_by_center",

@@ -1,5 +1,6 @@
-"""Utility helpers: point preprocessing and batch handling."""
+"""Utility helpers: point preprocessing, batch handling, diagnostics."""
 
+from .diagnostics import accuracy_check
 from .points import (
     compute_points_center,
     compute_points_radius,
@@ -8,6 +9,7 @@ from .points import (
 )
 
 __all__ = [
+    "accuracy_check",
     "compute_points_center",
     "compute_points_radius",
     "shift_points_by_center",
