@@ -64,10 +64,56 @@ def _normalize_batch(batch, n, batch_size):
 
 
 
-def _maybe_build_plan(strategy, plan, pos, batch, N, m, sigma, batch_size):
-    """strategy="binned" needs a concrete-point plan built before tracing."""
-    if strategy != "binned" or plan is not None:
+
+_COMPLEX_OK = None
+
+
+def _complex_ok() -> bool:
+    """Whether the default backend can run complex64 FFTs (mainline CPU/TPU:
+    yes; some TPU runtimes expose no complex dtype at all). Probed once by
+    COMPILING (never executing) a tiny FFT: on backends without complex
+    support, executing a failing op can poison the whole process, while
+    compilation is chipless. On failure the real-valued planar pipelines
+    (ops/planar.py) take over where the math allows. Override with
+    TORCH_NFFT_TPU_COMPLEX=0/1."""
+    global _COMPLEX_OK
+    if _COMPLEX_OK is None:
+        import os
+
+        env = os.environ.get("TORCH_NFFT_TPU_COMPLEX")
+        if env is not None:
+            _COMPLEX_OK = env not in ("0", "false", "no")
+            return _COMPLEX_OK
+        try:
+            jax.jit(lambda v: jnp.fft.fft(v)).lower(
+                jax.ShapeDtypeStruct((4,), jnp.complex64)
+            ).compile()
+            _COMPLEX_OK = True
+        except Exception:
+            _COMPLEX_OK = False
+    return _COMPLEX_OK
+
+
+def _maybe_build_plan(strategy, plan, pos, batch, N, m, sigma, batch_size, C=1):
+    """strategy="binned" needs a concrete-point plan built before tracing.
+
+    "auto" with concrete points also plans eagerly once the problem outgrows
+    the one-hot matmul regime: the binned engine beats XLA scatter there and
+    is the only fast path on TPU runtimes without a good scatter.
+    """
+    if plan is not None:
         return plan, strategy
+    if strategy == "auto":
+        if isinstance(pos, jax.core.Tracer):
+            return None, "auto"
+        n, dim = pos.shape
+        M = int(round(sigma * N))
+        onehot_cost = n * batch_size * M + n * (M ** max(0, dim - 1)) * C
+        if n < 4096 or onehot_cost <= (1 << 24):
+            return None, "auto"
+        strategy = "binned"
+    if strategy != "binned":
+        return None, strategy
     if isinstance(pos, jax.core.Tracer):
         return None, "scatter"
     from .binned import build_plan
@@ -138,7 +184,33 @@ def nfft_adjoint(
     x = jnp.asarray(x)
     pos = jnp.asarray(pos)
     batch, batch_size = _normalize_batch(batch, pos.shape[0], batch_size)
-    plan, strategy = _maybe_build_plan(strategy, plan, pos, batch, N, m, sigma, batch_size)
+    plan, strategy = _maybe_build_plan(
+        strategy, plan, pos, batch, N, m, sigma, batch_size,
+        C=math.prod(x.shape[1:]) if x.ndim > 1 else 1,
+    )
+
+    if (
+        real_output
+        and not jnp.issubdtype(x.dtype, jnp.complexfloating)
+        and not _complex_ok()
+    ):
+        from .planar import nfft_adjoint_planar
+
+        trailing = x.shape[1:]
+        C = math.prod(trailing) if trailing else 1
+        yr, _ = nfft_adjoint_planar(
+            x.reshape(x.shape[0], C).astype(jnp.float32),
+            pos,
+            batch,
+            plan,
+            batch_size=batch_size,
+            N=N,
+            m=m,
+            sigma=float(sigma),
+            strategy=strategy,
+        )
+        return yr.reshape((batch_size,) + (N,) * pos.shape[1] + trailing)
+
     return _nfft_adjoint_impl(
         x,
         pos,
@@ -216,7 +288,8 @@ def nfft_forward(
             f"x.shape[0] = {x.shape[0]} must equal batch_size = {batch_size}"
         )
     plan, strategy = _maybe_build_plan(
-        strategy, plan, pos, batch, x.shape[1], m, sigma, batch_size
+        strategy, plan, pos, batch, x.shape[1], m, sigma, batch_size,
+        C=math.prod(x.shape[1 + pos.shape[1]:]) if x.ndim > 1 + pos.shape[1] else 1,
     )
     return _nfft_forward_impl(
         x,
@@ -350,18 +423,45 @@ def nfft_fastsum(
             f"source batch size {bs_src} != target batch size {bs_tgt}"
         )
 
+    _C_fs = math.prod(x.shape[1:]) if x.ndim > 1 else 1
     source_plan, strat_src = _maybe_build_plan(
-        strategy, source_plan, sources, source_batch, N, m_, sigma, bs_src
+        strategy, source_plan, sources, source_batch, N, m_, sigma, bs_src, C=_C_fs
     )
     if symmetric and strat_src != strategy:
         target_plan = target_plan if target_plan is not None else source_plan
         strategy = strat_src
     elif not symmetric:
         target_plan, strategy = _maybe_build_plan(
-            strategy, target_plan, targets, target_batch, N, m_, sigma, bs_tgt
+            strategy, target_plan, targets, target_batch, N, m_, sigma, bs_tgt, C=_C_fs
         )
     else:
         strategy = strat_src
+
+    if (
+        not jnp.issubdtype(x.dtype, jnp.complexfloating)
+        and not jnp.issubdtype(coeffs.dtype, jnp.complexfloating)
+        and not _complex_ok()
+    ):
+        from .planar import nfft_fastsum_real
+
+        trailing = x.shape[1:]
+        C = math.prod(trailing) if trailing else 1
+        y = nfft_fastsum_real(
+            x.reshape(x.shape[0], C).astype(jnp.float32),
+            coeffs,
+            sources,
+            targets,
+            source_batch,
+            target_batch,
+            source_plan,
+            target_plan,
+            batch_size=bs_src,
+            N=N,
+            m=m_,
+            sigma=float(sigma),
+            strategy=strategy,
+        )
+        return y.reshape((targets.shape[0],) + trailing)
 
     return _nfft_fastsum_impl(
         x,
