@@ -84,13 +84,12 @@ def _complex_ok() -> bool:
         if env is not None:
             _COMPLEX_OK = env not in ("0", "false", "no")
             return _COMPLEX_OK
-        try:
-            jax.jit(lambda v: jnp.fft.fft(v)).lower(
-                jax.ShapeDtypeStruct((4,), jnp.complex64)
-            ).compile()
-            _COMPLEX_OK = True
-        except Exception:
-            _COMPLEX_OK = False
+        # Execution-probing is not safe (a failed complex op poisons the
+        # process on exactly the runtimes we need to detect) and the AOT
+        # compiler accepts complex even when the runtime cannot execute it,
+        # so detect the known complex-free runtime by its platform marker.
+        platforms = os.environ.get("JAX_PLATFORMS", "")
+        _COMPLEX_OK = "axon" not in platforms.lower()
     return _COMPLEX_OK
 
 
