@@ -422,18 +422,44 @@ def _use_pallas(plan: BinnedPlan, C: int, dtype) -> bool:
     return pallas_supported(plan, C)
 
 
+def _tile_chunk_rows(S: int, H: int, dim: int, C: int) -> int:
+    """Row chunk for windowed tile placement: the (Rc, 1, C, (H,)*dim)
+    update/output arrays pay ~6.5x TPU layout padding on the (H, H) minor
+    dims, so bound the padded chunk at ~1.5 GB."""
+    padded_tile = C * (H ** max(0, dim - 2)) * (-(-H // 8) * 8) * 128 * 4
+    return int(max(1, min(S, (3 << 29) // max(1, padded_tile))))
+
+
 def _spread_pallas(plan: BinnedPlan, x, pos, batch_size: int):
-    """Fused Pallas tiles + one windowed scatter."""
+    """Fused Pallas tiles + chunked windowed scatter."""
     from .pallas.contract import spread_tiles_pallas
 
     dim, H, M, C = plan.dim, plan.H, plan.M, x.shape[1]
     tiles = spread_tiles_pallas(plan, x.astype(jnp.float32), pos, C=C)
-    updates = tiles.reshape((tiles.shape[0], 1, C) + (H,) * dim).astype(x.dtype)
-    starts = _row_starts(plan, plan.origin, plan.row_batch)
+    tiles = tiles.astype(x.dtype)  # (S, C, H, H*H): modest padding
+    S = tiles.shape[0]
+    Rc = _tile_chunk_rows(S, H, dim, C)
+    n_chunks = -(-S // Rc)
+    S_pad = n_chunks * Rc
+    tiles = jnp.pad(tiles, ((0, S_pad - S), (0, 0), (0, 0), (0, 0)))
+    origin = jnp.pad(plan.origin, ((0, S_pad - S), (0, 0)))
+    row_batch = jnp.pad(plan.row_batch, (0, S_pad - S))
+    dnums = _scatter_dnums(dim)
+
     ge = jnp.zeros((batch_size, C) + (M + H,) * dim, dtype=x.dtype)
-    ge = jax.lax.scatter_add(
-        ge, starts, updates, _scatter_dnums(dim), mode=jax.lax.GatherScatterMode.CLIP
-    )
+
+    def body(i, ge_acc):
+        sl = i * Rc
+        t = jax.lax.dynamic_slice_in_dim(tiles, sl, Rc, 0)
+        org = jax.lax.dynamic_slice_in_dim(origin, sl, Rc, 0)
+        rb = jax.lax.dynamic_slice_in_dim(row_batch, sl, Rc, 0)
+        updates = t.reshape((Rc, 1, C) + (H,) * dim)
+        starts = _row_starts(plan, org, rb)
+        return jax.lax.scatter_add(
+            ge_acc, starts, updates, dnums, mode=jax.lax.GatherScatterMode.CLIP
+        )
+
+    ge = jax.lax.fori_loop(0, n_chunks, body, ge)
     g = _fold_extension(ge, plan)
     g = jnp.moveaxis(g, 1, -1)
     return g.reshape(batch_size * M**dim, C)
@@ -541,16 +567,31 @@ def _gather_pallas(plan: BinnedPlan, g_flat, pos):
     gx = g_flat.reshape((batch_size,) + (M,) * dim + (C,))
     gx = jnp.moveaxis(gx, -1, 1)
     gx = _extend_grid(gx, plan)
-    starts = _row_starts(plan, plan.origin, plan.row_batch)
-    tiles = jax.lax.gather(
-        gx,
-        starts,
-        _gather_dnums(dim),
-        slice_sizes=(1, C) + (H,) * dim,
-        mode=jax.lax.GatherScatterMode.CLIP,
-    )[:, 0]  # (S, C, (H,)*dim)
-    S = tiles.shape[0]
-    tiles = tiles.reshape(S, C, H, H * H).astype(jnp.float32)
+
+    S = plan.slot_pt.shape[0]
+    Rc = _tile_chunk_rows(S, H, dim, C)
+    n_chunks = -(-S // Rc)
+    S_pad = n_chunks * Rc
+    origin = jnp.pad(plan.origin, ((0, S_pad - S), (0, 0)))
+    row_batch = jnp.pad(plan.row_batch, (0, S_pad - S))
+    dnums = _gather_dnums(dim)
+    slice_sizes = (1, C) + (H,) * dim
+
+    tiles = jnp.zeros((S_pad, C, H, H * H), jnp.float32)
+
+    def body(i, tiles_acc):
+        sl = i * Rc
+        org = jax.lax.dynamic_slice_in_dim(origin, sl, Rc, 0)
+        rb = jax.lax.dynamic_slice_in_dim(row_batch, sl, Rc, 0)
+        starts = _row_starts(plan, org, rb)
+        t = jax.lax.gather(
+            gx, starts, dnums, slice_sizes=slice_sizes,
+            mode=jax.lax.GatherScatterMode.CLIP,
+        )[:, 0]  # (Rc, C, (H,)*dim)
+        t = t.reshape(Rc, C, H, H * H).astype(jnp.float32)
+        return jax.lax.dynamic_update_slice_in_dim(tiles_acc, t, sl, 0)
+
+    tiles = jax.lax.fori_loop(0, n_chunks, body, tiles)[:S]
     y = gather_points_pallas(plan, tiles, pos, C=C)  # (S, C, K)
     out = jnp.swapaxes(y, 1, 2).reshape(S * K, C).astype(g_flat.dtype)
     return jnp.take(out, plan.inv_slot, axis=0)
