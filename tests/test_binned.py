@@ -102,3 +102,64 @@ def test_binned_gradients_match(rng):
     gx_s, gp_s = jax.grad(loss_scatter, argnums=(0, 1))(jnp.asarray(x), jnp.asarray(pos))
     np.testing.assert_allclose(np.asarray(gx_b), np.asarray(gx_s), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gp_b), np.asarray(gp_s), rtol=1e-4, atol=1e-3)
+
+
+def test_pallas_kernels_interpret(rng):
+    """Force the fused Pallas path (interpret mode on CPU): K=128, dim=3."""
+    from torch_nfft_tpu.ops.binned import (
+        _gather_pallas,
+        _gather_xla,
+        _spread_pallas,
+        _spread_xla,
+        build_plan,
+    )
+    from torch_nfft_tpu.ops.pallas.contract import pallas_supported
+
+    n, dim, N, m, B, C = 200, 3, 8, 3, 2, 2
+    pos, batch = _points(rng, n, dim, B)
+    plan = build_plan(pos, batch, N=N, m=m, batch_size=B, K=128)
+    assert pallas_supported(plan, C)
+    x = rng.standard_normal((n, C)).astype(np.float32)
+
+    g_p = _spread_pallas(plan, jnp.asarray(x), jnp.asarray(pos), B)
+    g_x = _spread_xla(plan, jnp.asarray(x), jnp.asarray(pos), B)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=1e-5, atol=1e-5)
+
+    y_p = _gather_pallas(plan, g_x, jnp.asarray(pos))
+    y_x = _gather_xla(plan, g_x, jnp.asarray(pos))
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x), rtol=1e-5, atol=1e-5)
+
+
+def test_plan_mismatch_rejected(rng):
+    import pytest as _pytest
+
+    import torch_nfft_tpu as tn
+
+    n, dim, N = 64, 2, 16
+    pos, batch = _points(rng, n, dim, 1)
+    x = rng.standard_normal((n, 1)).astype(np.float32)
+    plan = build_plan(pos, batch, N=N, m=3, batch_size=1)
+    with _pytest.raises(ValueError, match="plan was built"):
+        tn.nfft_adjoint(x, pos, batch, bandwidth=N, cutoff=4, plan=plan)
+
+
+def test_symmetric_fastsum_auto_plan(rng, monkeypatch):
+    """Auto-planned symmetric fastsum uses the plan for BOTH halves."""
+    import torch_nfft_tpu as tn
+    from torch_nfft_tpu.ops import nfft as nfft_mod
+
+    calls = []
+    orig = nfft_mod._nfft_fastsum_impl
+
+    def spy(x, coeffs, s_, t_, sb, tb, sp, tp, **kw):
+        calls.append((sp is not None, tp is not None))
+        return orig(x, coeffs, s_, t_, sb, tb, sp, tp, **kw)
+
+    monkeypatch.setattr(nfft_mod, "_nfft_fastsum_impl", spy)
+
+    n, dim, N, m = 20000, 3, 16, 3  # past the one-hot cost threshold
+    pos = ((rng.random((n, dim)) - 0.5) / 2).astype(np.float32)
+    x = rng.standard_normal((n, 1)).astype(np.float32)
+    coeffs = tn.gaussian_analytic_coeffs(0.25, dim=dim, N=N)
+    tn.nfft_fastsum(x, coeffs, pos, cutoff=m)
+    assert calls and calls[0] == (True, True)

@@ -117,7 +117,7 @@ class GramMatrix(AbstractMatrix):
             if (
                 isinstance(src, jax.core.Tracer)
                 or isinstance(tgt, jax.core.Tracer)
-                or src.shape[0] < self._PLAN_THRESHOLD
+                or max(src.shape[0], tgt.shape[0]) < self._PLAN_THRESHOLD
             ):
                 self._plan_cache = (None, None)
             else:

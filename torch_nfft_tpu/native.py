@@ -53,13 +53,13 @@ def _build_lib() -> ctypes.CDLL | None:
             "-std=c++17",
             *srcs,
             "-o",
-            str(so_path) + ".tmp",
+            f"{so_path}.{os.getpid()}.tmp",  # per-pid: concurrent builds race
         ]
         try:
             subprocess.run(cmd, check=True, capture_output=True, text=True)
         except (subprocess.CalledProcessError, FileNotFoundError):
             return None
-        os.replace(str(so_path) + ".tmp", so_path)
+        os.replace(f"{so_path}.{os.getpid()}.tmp", so_path)
     try:
         return ctypes.CDLL(str(so_path))
     except OSError:

@@ -134,7 +134,10 @@ def build_plan(
     every transform on the same point set (both spread and gather, forward
     and backward, every fastsum matvec).
     """
-    pos = np.asarray(pos)
+    # bin in float32 regardless of input dtype: the device window math runs
+    # in f32 and a different floor() near cell boundaries would assign a
+    # point to a tile whose halo misses its last window cell
+    pos = np.asarray(pos, dtype=np.float32)
     n, dim = pos.shape
     if batch is None:
         batch = np.zeros((n,), np.int32)

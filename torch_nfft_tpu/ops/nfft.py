@@ -69,13 +69,13 @@ _COMPLEX_OK = None
 
 
 def _complex_ok() -> bool:
-    """Whether the default backend can run complex64 FFTs (mainline CPU/TPU:
-    yes; some TPU runtimes expose no complex dtype at all). Probed once by
-    COMPILING (never executing) a tiny FFT: on backends without complex
-    support, executing a failing op can poison the whole process, while
-    compilation is chipless. On failure the real-valued planar pipelines
-    (ops/planar.py) take over where the math allows. Override with
-    TORCH_NFFT_TPU_COMPLEX=0/1."""
+    """Whether the active backend can run complex64 FFTs (mainline CPU/TPU:
+    yes; the axon TPU runtime exposes no complex dtype at all). Detected from
+    the selected platform — execution-probing is unsafe (a failed complex op
+    poisons the process on exactly the runtimes to detect) and AOT
+    compilation accepts complex that the runtime rejects. When complex is
+    unavailable the real-valued planar pipelines (ops/planar.py) take over
+    where the math allows. Override with TORCH_NFFT_TPU_COMPLEX=0/1."""
     global _COMPLEX_OK
     if _COMPLEX_OK is None:
         import os
@@ -84,13 +84,27 @@ def _complex_ok() -> bool:
         if env is not None:
             _COMPLEX_OK = env not in ("0", "false", "no")
             return _COMPLEX_OK
-        # Execution-probing is not safe (a failed complex op poisons the
-        # process on exactly the runtimes we need to detect) and the AOT
-        # compiler accepts complex even when the runtime cannot execute it,
-        # so detect the known complex-free runtime by its platform marker.
-        platforms = os.environ.get("JAX_PLATFORMS", "")
+        # jax.config (set via jax.config.update) wins over the env var —
+        # forcing CPU the documented way must re-enable the complex path.
+        platforms = (
+            getattr(jax.config, "jax_platforms", None)
+            or os.environ.get("JAX_PLATFORMS", "")
+            or ""
+        )
         _COMPLEX_OK = "axon" not in platforms.lower()
     return _COMPLEX_OK
+
+
+def _check_plan(plan, N, m, sigma):
+    """A plan with mismatched window geometry would be silently wrong (the
+    grid shapes still line up when only m differs), so fail loudly."""
+    if plan is None:
+        return
+    if (plan.N, plan.m) != (N, m) or plan.sigma != float(sigma):
+        raise ValueError(
+            f"plan was built for (N={plan.N}, m={plan.m}, sigma={plan.sigma}) "
+            f"but the transform uses (N={N}, m={m}, sigma={float(sigma)})"
+        )
 
 
 def _maybe_build_plan(strategy, plan, pos, batch, N, m, sigma, batch_size, C=1):
@@ -101,14 +115,16 @@ def _maybe_build_plan(strategy, plan, pos, batch, N, m, sigma, batch_size, C=1):
     is the only fast path on TPU runtimes without a good scatter.
     """
     if plan is not None:
+        _check_plan(plan, N, m, sigma)
         return plan, strategy
     if strategy == "auto":
         if isinstance(pos, jax.core.Tracer):
             return None, "auto"
+        from .spread_gather import _onehot_cost
+
         n, dim = pos.shape
         M = int(round(sigma * N))
-        onehot_cost = n * batch_size * M + n * (M ** max(0, dim - 1)) * C
-        if n < 4096 or onehot_cost <= (1 << 24):
+        if n < 4096 or _onehot_cost(n, dim, batch_size, M, C) <= (1 << 24):
             return None, "auto"
         strategy = "binned"
     if strategy != "binned":
@@ -290,6 +306,31 @@ def nfft_forward(
         strategy, plan, pos, batch, x.shape[1], m, sigma, batch_size,
         C=math.prod(x.shape[1 + pos.shape[1]:]) if x.ndim > 1 + pos.shape[1] else 1,
     )
+
+    if (
+        real_output
+        and not jnp.issubdtype(x.dtype, jnp.complexfloating)
+        and not _complex_ok()
+    ):
+        from .planar import nfft_forward_planar
+
+        N_ = x.shape[1]
+        trailing = x.shape[1 + dim :]
+        C = math.prod(trailing) if trailing else 1
+        yr, _ = nfft_forward_planar(
+            x.reshape((batch_size,) + (N_,) * dim + (C,)).astype(jnp.float32),
+            None,
+            pos,
+            batch,
+            plan,
+            batch_size=batch_size,
+            dim=dim,
+            m=m,
+            sigma=float(sigma),
+            strategy=strategy,
+        )
+        return yr.reshape((pos.shape[0],) + trailing)
+
     return _nfft_forward_impl(
         x,
         pos,
@@ -426,15 +467,13 @@ def nfft_fastsum(
     source_plan, strat_src = _maybe_build_plan(
         strategy, source_plan, sources, source_batch, N, m_, sigma, bs_src, C=_C_fs
     )
-    if symmetric and strat_src != strategy:
+    if symmetric:
         target_plan = target_plan if target_plan is not None else source_plan
         strategy = strat_src
-    elif not symmetric:
+    else:
         target_plan, strategy = _maybe_build_plan(
             strategy, target_plan, targets, target_batch, N, m_, sigma, bs_tgt, C=_C_fs
         )
-    else:
-        strategy = strat_src
 
     if (
         not jnp.issubdtype(x.dtype, jnp.complexfloating)

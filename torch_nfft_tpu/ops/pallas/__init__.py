@@ -1,9 +1,11 @@
-"""Pallas TPU kernels for the spread/gather hot loops (large-grid strategy).
+"""Pallas TPU kernels for the NFFT hot loops.
 
-Populated incrementally; the dispatcher in ops/spread_gather.py falls back to
-the XLA scatter strategy when a kernel is unavailable for a configuration.
+The fused window-contraction kernels live in :mod:`.contract` and are driven
+by the binned engine (ops/binned.py) whenever a concrete BinnedPlan exists;
+see docs/tpu_design.md for the kernel design and the Mosaic constraints it
+encodes.
 """
 
-from .spread import gather_pallas, spread_pallas  # noqa: F401
+from .contract import gather_points_pallas, pallas_supported, spread_tiles_pallas
 
-__all__ = ["spread_pallas", "gather_pallas"]
+__all__ = ["spread_tiles_pallas", "gather_points_pallas", "pallas_supported"]

@@ -47,8 +47,11 @@ def _interpret() -> bool:
 
 
 def pallas_supported(plan, C: int) -> bool:
-    # K must tile the 128-lane axis; tiny K falls back to XLA.
-    return plan.dim == 3 and plan.K % 128 == 0
+    # K must tile the 128-lane axis and the kernel's chunking (either one
+    # chunk of K <= _KC or whole _KC chunks); otherwise fall back to XLA.
+    if plan.dim != 3 or plan.K % 128:
+        return False
+    return plan.K <= _KC or plan.K % _KC == 0
 
 
 def _window_row(p_row, origin_d, M, m, H, inv_b, amp):

@@ -11,8 +11,9 @@ there are no atomics; instead we have three strategies, selected by
 * ``"matmul"`` — one-hot matrix products that put the spreading on the MXU.
   Wins for small oversampled grids (the library's intended regime,
   N in {16, 32, 64}).
-* ``"pallas"`` — hand-written sorted-tile kernels (ops/pallas/) for large
-  grids. Falls back to "scatter" when unavailable.
+* ``"binned"`` — the plan-based sorted-tile engine (ops/binned.py), which
+  runs the fused Pallas kernels on TPU; chosen automatically for large
+  concrete point sets, or pass a prebuilt ``plan=``.
 
 Both spread and gather are pure jnp compositions, so ``jax.grad`` flows
 through them — including through the window weights to the point positions,
@@ -264,13 +265,18 @@ def _gather_matmul(g_flat, pos, batch, batch_size, N, m, sigma):
 # ---------------------------------------------------------------------------
 
 
+def _onehot_cost(n, dim, batch_size, M, C):
+    """Size of the one-hot matmul strategy's operands: (n, B*M) plus
+    (n, M^(dim-1)*C). Shared with the eager auto-planner in ops/nfft.py."""
+    return n * batch_size * M + n * (M ** max(0, dim - 1)) * C
+
+
 def _pick_strategy(strategy, n, dim, batch_size, M, C):
     if strategy != "auto":
         return strategy
-    # One-hot matmul materializes (n, B*M) and (n, M^{dim-1}*C) operands; use
-    # it when those stay small enough that MXU throughput beats scatter cost.
-    onehot_cost = n * batch_size * M + n * (M ** max(0, dim - 1)) * C
-    if onehot_cost <= (1 << 24):
+    # Use the one-hot matmul when its operands stay small enough that MXU
+    # throughput beats scatter cost.
+    if _onehot_cost(n, dim, batch_size, M, C) <= (1 << 24):
         return "matmul"
     return "scatter"
 
@@ -314,10 +320,6 @@ def spread(
             return spread_binned(plan, x, pos, batch_size=batch_size)
     if strat == "matmul":
         return _spread_matmul(x, pos, batch, batch_size, N, m, sigma)
-    if strat == "pallas":
-        from .pallas import spread_pallas
-
-        return spread_pallas(x, pos, batch, batch_size, N, m, sigma)
     return _spread_scatter(x, pos, batch, batch_size, N, m, sigma, point_chunk)
 
 
@@ -357,8 +359,4 @@ def gather(
             return gather_binned(plan, g_flat, pos)
     if strat == "matmul":
         return _gather_matmul(g_flat, pos, batch, batch_size, N, m, sigma)
-    if strat == "pallas":
-        from .pallas import gather_pallas
-
-        return gather_pallas(g_flat, pos, batch, batch_size, N, m, sigma)
     return _gather_scatter(g_flat, pos, batch, N, m, sigma, point_chunk)
