@@ -428,9 +428,10 @@ def _use_pallas(plan: BinnedPlan, C: int, dtype) -> bool:
 def _tile_chunk_rows(S: int, H: int, dim: int, C: int) -> int:
     """Row chunk for windowed tile placement: the (Rc, 1, C, (H,)*dim)
     update/output arrays pay ~6.5x TPU layout padding on the (H, H) minor
-    dims, so bound the padded chunk at ~1.5 GB."""
+    dims, so bound the padded chunk at ~6 GB (chunking costs ~10% wall
+    time, so stay unchunked whenever it fits beside the grids)."""
     padded_tile = C * (H ** max(0, dim - 2)) * (-(-H // 8) * 8) * 128 * 4
-    return int(max(1, min(S, (3 << 29) // max(1, padded_tile))))
+    return int(max(1, min(S, (3 << 31) // max(1, padded_tile))))
 
 
 def _spread_pallas(plan: BinnedPlan, x, pos, batch_size: int):
@@ -462,7 +463,10 @@ def _spread_pallas(plan: BinnedPlan, x, pos, batch_size: int):
             ge_acc, starts, updates, dnums, mode=jax.lax.GatherScatterMode.CLIP
         )
 
-    ge = jax.lax.fori_loop(0, n_chunks, body, ge)
+    if n_chunks == 1:
+        ge = body(0, ge)
+    else:
+        ge = jax.lax.fori_loop(0, n_chunks, body, ge)
     g = _fold_extension(ge, plan)
     g = jnp.moveaxis(g, 1, -1)
     return g.reshape(batch_size * M**dim, C)
@@ -580,21 +584,28 @@ def _gather_pallas(plan: BinnedPlan, g_flat, pos):
     dnums = _gather_dnums(dim)
     slice_sizes = (1, C) + (H,) * dim
 
-    tiles = jnp.zeros((S_pad, C, H, H * H), jnp.float32)
-
-    def body(i, tiles_acc):
-        sl = i * Rc
-        org = jax.lax.dynamic_slice_in_dim(origin, sl, Rc, 0)
-        rb = jax.lax.dynamic_slice_in_dim(row_batch, sl, Rc, 0)
+    def chunk_tiles(org, rb, R):
         starts = _row_starts(plan, org, rb)
         t = jax.lax.gather(
             gx, starts, dnums, slice_sizes=slice_sizes,
             mode=jax.lax.GatherScatterMode.CLIP,
-        )[:, 0]  # (Rc, C, (H,)*dim)
-        t = t.reshape(Rc, C, H, H * H).astype(jnp.float32)
-        return jax.lax.dynamic_update_slice_in_dim(tiles_acc, t, sl, 0)
+        )[:, 0]  # (R, C, (H,)*dim)
+        return t.reshape(R, C, H, H * H).astype(jnp.float32)
 
-    tiles = jax.lax.fori_loop(0, n_chunks, body, tiles)[:S]
+    if n_chunks == 1:
+        tiles = chunk_tiles(origin, row_batch, S_pad)[:S]
+    else:
+        tiles = jnp.zeros((S_pad, C, H, H * H), jnp.float32)
+
+        def body(i, tiles_acc):
+            sl = i * Rc
+            org = jax.lax.dynamic_slice_in_dim(origin, sl, Rc, 0)
+            rb = jax.lax.dynamic_slice_in_dim(row_batch, sl, Rc, 0)
+            return jax.lax.dynamic_update_slice_in_dim(
+                tiles_acc, chunk_tiles(org, rb, Rc), sl, 0
+            )
+
+        tiles = jax.lax.fori_loop(0, n_chunks, body, tiles)[:S]
     y = gather_points_pallas(plan, tiles, pos, C=C)  # (S, C, K)
     out = jnp.swapaxes(y, 1, 2).reshape(S * K, C).astype(g_flat.dtype)
     return jnp.take(out, plan.inv_slot, axis=0)
