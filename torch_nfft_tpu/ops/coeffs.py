@@ -15,7 +15,6 @@ section 2.4 "known defects, do NOT replicate").
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -26,8 +26,6 @@ memory stays bounded.
 
 from __future__ import annotations
 
-import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -35,13 +33,6 @@ import jax.numpy as jnp
 from .window import compute_psi, compute_shifts, window_index_offsets
 
 __all__ = ["spread", "gather", "window_weights_and_indices"]
-
-
-def _prod(xs):
-    out = 1
-    for x in xs:
-        out *= x
-    return out
 
 
 def window_weights_and_indices(

@@ -23,7 +23,6 @@ adds nothing; padded forward outputs are sliced away by the caller).
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp
