@@ -135,3 +135,23 @@ def test_train_step_runs_and_descends(mesh2d, rng):
     w1, _ = step(jax.device_put(w0, shardings[0]), pos_d, y_d)
     g_sharded = (w0 - w1) / lr
     np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_single), rtol=1e-4, atol=1e-6)
+
+
+def test_pad_points_roundtrip(mesh, rng):
+    from torch_nfft_tpu.parallel import pad_points
+
+    n, dim, N, m = 61, 2, 8, 3  # 61 not divisible by 8 devices
+    pos = (rng.random((n, dim)) - 0.5).astype(np.float32) / 4
+    x = rng.standard_normal((n, 2)).astype(np.float32)
+    batch = np.zeros((n,), np.int32)
+
+    pos_p, x_p, batch_p, n_valid = pad_points(
+        pos, x, batch, multiple=mesh.shape["points"]
+    )
+    assert pos_p.shape[0] % mesh.shape["points"] == 0 and n_valid == n
+
+    ref = tn.nfft_adjoint(x, pos, batch, bandwidth=N, cutoff=m, batch_size=1)
+    got = nfft_adjoint_sharded(
+        x_p, pos_p, batch_p, bandwidth=N, cutoff=m, mesh=mesh, batch_size=1
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)

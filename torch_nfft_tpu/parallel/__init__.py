@@ -15,7 +15,7 @@ grid. The TPU-native scaling design replaces that with explicit SPMD over a
   :func:`make_fastsum_train_step`.
 """
 
-from .mesh import make_mesh
+from .mesh import make_mesh, pad_points
 from .sharded import (
     nfft_adjoint_sharded,
     nfft_fastsum_sharded,
@@ -25,6 +25,7 @@ from .training import make_fastsum_train_step
 
 __all__ = [
     "make_mesh",
+    "pad_points",
     "nfft_adjoint_sharded",
     "nfft_forward_sharded",
     "nfft_fastsum_sharded",

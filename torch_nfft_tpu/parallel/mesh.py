@@ -1,13 +1,14 @@
-"""Mesh construction helpers."""
+"""Mesh construction and point-padding helpers."""
 
 from __future__ import annotations
 
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh
 
-__all__ = ["make_mesh"]
+__all__ = ["make_mesh", "pad_points"]
 
 
 def make_mesh(axes: dict[str, int] | None = None, devices=None) -> Mesh:
@@ -35,3 +36,28 @@ def make_mesh(axes: dict[str, int] | None = None, devices=None) -> Mesh:
         raise ValueError(f"mesh axes {dict(zip(names, sizes))} != {n} devices")
     arr = np.asarray(devices).reshape(sizes)
     return Mesh(arr, tuple(names))
+
+
+def pad_points(pos, x=None, batch=None, *, multiple: int):
+    """Pad a point set so n divides the point-axis mesh size.
+
+    The sharded transforms require equal local shards. Padding appends
+    zero-weight points at the origin of the LAST batch: spreading a zero
+    contributes nothing (adjoint/fastsum are exact), and padded rows of a
+    forward/gather output should be sliced away with the returned count.
+
+    Returns (pos, x, batch, n_valid); x/batch stay None if not given.
+    """
+    pos = jnp.asarray(pos)
+    n = pos.shape[0]
+    n_pad = (-n) % int(multiple)
+    if n_pad == 0:
+        return pos, x, batch, n
+    pos = jnp.pad(pos, ((0, n_pad), (0, 0)))
+    if x is not None:
+        x = jnp.asarray(x)
+        x = jnp.pad(x, ((0, n_pad),) + ((0, 0),) * (x.ndim - 1))
+    if batch is not None:
+        batch = jnp.asarray(batch)
+        batch = jnp.concatenate([batch, jnp.full((n_pad,), batch[-1], batch.dtype)])
+    return pos, x, batch, n
