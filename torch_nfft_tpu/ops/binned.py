@@ -64,15 +64,12 @@ class BinnedPlan:
 
     # arrays
     slot_pt: jax.Array  # (S, K) int32 — original point index per slot
-    slot_valid: jax.Array  # (S, K) float32 — 1 for a real point, 0 for padding
+    slot_pos: jax.Array  # (dim, S*K) f32 — slot-ordered coordinates, feature-
+    # major (precomputed so the hot path never gathers positions per call)
     origin: jax.Array  # (S, dim) int32 — tile origin cell per row
     row_batch: jax.Array  # (S,) int32
     inv_slot: jax.Array  # (n,) int32 — flat slot id per point
-    # sorted layout (for fused kernels): point ids in (batch, tile) order and
-    # the contiguous run of `order` belonging to each row
-    order: jax.Array  # (n,) int32
-    row_start: jax.Array  # (S,) int32
-    row_count: jax.Array  # (S,) int32
+    row_count: jax.Array  # (S,) int32 — points actually filling each row
     # static
     n: int
     dim: int
@@ -81,6 +78,11 @@ class BinnedPlan:
     sigma: float
     T: int
     K: int
+    # host-side sorted layout (NumPy; not shipped to the device; dropped by
+    # pytree round-trips): point ids in (batch, tile) order and each row's
+    # contiguous run of `order`
+    order: object = None  # (n,) int32 np.ndarray
+    row_start: object = None  # (S,) int32 np.ndarray
 
     @property
     def M(self) -> int:
@@ -90,15 +92,19 @@ class BinnedPlan:
     def H(self) -> int:
         return self.T + 2 * self.m + 1
 
+    @property
+    def slot_valid(self) -> jax.Array:
+        """(S, K) float32 validity mask, derived from row_count."""
+        k = jnp.arange(self.K, dtype=jnp.int32)[None, :]
+        return (k < self.row_count[:, None]).astype(jnp.float32)
+
     def tree_flatten(self):
         children = (
             self.slot_pt,
-            self.slot_valid,
+            self.slot_pos,
             self.origin,
             self.row_batch,
             self.inv_slot,
-            self.order,
-            self.row_start,
             self.row_count,
         )
         aux = (self.n, self.dim, self.N, self.m, self.sigma, self.T, self.K)
@@ -176,15 +182,19 @@ def build_plan(
     if native is not None:
         (slot_pt, slot_valid, origin, row_batch, inv_slot, order, row_start,
          row_count), K_used = native
+        # slot_pos gathered on device: one-time ~0.3s instead of shipping
+        # an extra dim*S*K*4B array through a (possibly slow) host link
+        slot_pt_dev = jnp.asarray(slot_pt)
+        slot_pos = jnp.take(jnp.asarray(pos), slot_pt_dev.reshape(-1), axis=0).T
         return BinnedPlan(
-            slot_pt=jnp.asarray(slot_pt),
-            slot_valid=jnp.asarray(slot_valid),
+            slot_pt=slot_pt_dev,
+            slot_pos=slot_pos,
             origin=jnp.asarray(origin),
             row_batch=jnp.asarray(row_batch),
             inv_slot=jnp.asarray(inv_slot),
-            order=jnp.asarray(order),
-            row_start=jnp.asarray(row_start),
             row_count=jnp.asarray(row_count),
+            order=order,
+            row_start=row_start,
             n=n,
             dim=dim,
             N=N,
@@ -243,15 +253,17 @@ def build_plan(
     valid_flat = slot_valid.reshape(-1) > 0
     inv_slot[slot_pt.reshape(-1)[valid_flat]] = flat_slots[valid_flat]
 
+    slot_pt_dev = jnp.asarray(slot_pt)
+    slot_pos = jnp.take(jnp.asarray(pos), slot_pt_dev.reshape(-1), axis=0).T
     return BinnedPlan(
-        slot_pt=jnp.asarray(slot_pt),
-        slot_valid=jnp.asarray(slot_valid),
+        slot_pt=slot_pt_dev,
+        slot_pos=slot_pos,
         origin=jnp.asarray(origin),
         row_batch=jnp.asarray(row_batch),
         inv_slot=jnp.asarray(inv_slot.astype(np.int32)),
-        order=jnp.asarray(order.astype(np.int32)),
-        row_start=jnp.asarray(row_start.astype(np.int32)),
         row_count=jnp.asarray(row_count.astype(np.int32)),
+        order=order.astype(np.int32),
+        row_start=row_start.astype(np.int32),
         n=n,
         dim=dim,
         N=N,
@@ -371,9 +383,10 @@ def _spread_xla(plan: BinnedPlan, x, pos, batch_size: int):
     S_pad = n_chunks * R
 
     slot_pt = jnp.pad(plan.slot_pt, ((0, S_pad - S), (0, 0)))
-    slot_valid = jnp.pad(plan.slot_valid, ((0, S_pad - S), (0, 0)))
+    row_count = jnp.pad(plan.row_count, (0, S_pad - S))
     origin = jnp.pad(plan.origin, ((0, S_pad - S), (0, 0)))
     row_batch = jnp.pad(plan.row_batch, (0, S_pad - S))
+    k_iota = jnp.arange(K, dtype=jnp.int32)[None, :]
 
     def tiles_for(pt, vmask, org):
         """Row halo tiles, C-major: (R, C, (H,)*dim)."""
@@ -396,7 +409,8 @@ def _spread_xla(plan: BinnedPlan, x, pos, batch_size: int):
     def body(i, ge_acc):
         sl = i * R
         pt = jax.lax.dynamic_slice_in_dim(slot_pt, sl, R, 0)
-        vmask = jax.lax.dynamic_slice_in_dim(slot_valid, sl, R, 0)
+        rc = jax.lax.dynamic_slice_in_dim(row_count, sl, R, 0)
+        vmask = (k_iota < rc[:, None]).astype(jnp.float32)
         org = jax.lax.dynamic_slice_in_dim(origin, sl, R, 0)
         rb = jax.lax.dynamic_slice_in_dim(row_batch, sl, R, 0)
         tiles = tiles_for(pt, vmask, org)
@@ -512,9 +526,10 @@ def _gather_xla(plan: BinnedPlan, g_flat, pos):
     S_pad = n_chunks * R
 
     slot_pt = jnp.pad(plan.slot_pt, ((0, S_pad - S), (0, 0)))
-    slot_valid = jnp.pad(plan.slot_valid, ((0, S_pad - S), (0, 0)))
+    row_count = jnp.pad(plan.row_count, (0, S_pad - S))
     origin = jnp.pad(plan.origin, ((0, S_pad - S), (0, 0)))
     row_batch = jnp.pad(plan.row_batch, (0, S_pad - S))
+    k_iota = jnp.arange(K, dtype=jnp.int32)[None, :]
 
     # batch_size is recoverable from the grid length (static shapes)
     batch_size = g_flat.shape[0] // M**dim
@@ -546,7 +561,8 @@ def _gather_xla(plan: BinnedPlan, g_flat, pos):
     def body(i, out_acc):
         sl = i * R
         pt = jax.lax.dynamic_slice_in_dim(slot_pt, sl, R, 0)
-        vmask = jax.lax.dynamic_slice_in_dim(slot_valid, sl, R, 0)
+        rc = jax.lax.dynamic_slice_in_dim(row_count, sl, R, 0)
+        vmask = (k_iota < rc[:, None]).astype(jnp.float32)
         org = jax.lax.dynamic_slice_in_dim(origin, sl, R, 0)
         rb = jax.lax.dynamic_slice_in_dim(row_batch, sl, R, 0)
 

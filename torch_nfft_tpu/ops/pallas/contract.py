@@ -172,11 +172,11 @@ def _gather_kernel(
             y_ref[0, c : c + 1, pl.ds(sl, KC)] = yk
 
 
-def _slot_data(plan, arrays):
-    """Feature-major slot-ordered data: (F, S*K) from [(n, F_i) arrays]."""
+def _slot_values(plan, x):
+    """Feature-major slot-ordered values: (C, S*K) gathered from x (n, C).
+    Coordinates never need this — the plan precomputes plan.slot_pos."""
     flat = plan.slot_pt.reshape(-1)  # (S*K,)
-    cols = jnp.concatenate(arrays, axis=1)  # (n, F)
-    return jnp.take(cols, flat, axis=0).T  # (F, S*K)
+    return jnp.take(x, flat, axis=0).T  # (C, S*K)
 
 
 @functools.partial(jax.jit, static_argnames=("C",))
@@ -187,7 +187,10 @@ def spread_tiles_pallas(plan, x, pos, *, C):
     inv_b = window_inv_b(m, plan.sigma)
     amp = window_inv_sqrt_b_pi(m, plan.sigma)
 
-    data = _slot_data(plan, [x.astype(jnp.float32), pos.astype(jnp.float32)])
+    # values gathered per call; coordinates precomputed in the plan
+    data = jnp.concatenate(
+        [_slot_values(plan, x.astype(jnp.float32)), plan.slot_pos], axis=0
+    )
     F = data.shape[0]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -223,7 +226,7 @@ def gather_points_pallas(plan, tiles, pos, *, C):
     inv_b = window_inv_b(m, plan.sigma)
     amp = window_inv_sqrt_b_pi(m, plan.sigma)
 
-    data = _slot_data(plan, [pos.astype(jnp.float32)])
+    data = plan.slot_pos  # (dim, S*K): zero per-call gathers
     F = data.shape[0]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
