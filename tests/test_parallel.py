@@ -155,3 +155,27 @@ def test_pad_points_roundtrip(mesh, rng):
         x_p, pos_p, batch_p, bandwidth=N, cutoff=m, mesh=mesh, batch_size=1
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_train_step_with_optax(mesh2d, rng):
+    import optax
+
+    B, n, dim, N, m, C = 4, 16, 2, 8, 3, 2
+    coeffs = tn.gaussian_analytic_coeffs(0.3, dim=dim, N=N)
+    pos = (rng.random((B, n, dim)) - 0.5).astype(np.float32) / 4
+    w = jnp.zeros((B, n, C), jnp.float32)
+    y = rng.standard_normal((B, n, C)).astype(np.float32)
+
+    opt = optax.adam(5e-2)
+    step, shardings = make_fastsum_train_step(
+        mesh2d, coeffs, batch_size=B, n_per_set=n, cutoff=m, optimizer=opt
+    )
+    w = jax.device_put(w, shardings[0])
+    pos_d = jax.device_put(jnp.asarray(pos), shardings[1])
+    y_d = jax.device_put(jnp.asarray(y), shardings[2])
+    state = opt.init(w)
+
+    w, loss0, state = step(w, pos_d, y_d, state)
+    for _ in range(8):
+        w, loss, state = step(w, pos_d, y_d, state)
+    assert float(loss) < float(loss0)

@@ -38,19 +38,25 @@ def make_fastsum_train_step(
     n_per_set,
     cutoff=3,
     learning_rate=0.1,
+    optimizer=None,
     data_axis="data",
     points_axis="points",
     sigma=DEFAULT_SIGMA,
     strategy="auto",
 ):
-    """Build ``step(w, pos, y) -> (w_new, loss)`` jitted over ``mesh``.
+    """Build ``step(w, pos, y[, opt_state]) -> (w_new, loss[, opt_state])``
+    jitted over ``mesh``.
 
     Arrays are laid out (batch_size, n_per_set, ...): ``w`` and ``y`` with a
     trailing column dim C, ``pos`` with trailing dim d. ``batch_size`` must
     divide by the data-axis size and ``n_per_set`` by the points-axis size.
 
-    Returns (step_fn, in_shardings) where in_shardings = (w, pos, y) NamedShardings
-    suitable for ``jax.device_put``.
+    ``optimizer``: an optax ``GradientTransformation``; when given, the step
+    takes and returns an ``opt_state`` (initialize with ``optimizer.init(w)``)
+    instead of applying plain SGD with ``learning_rate``.
+
+    Returns (step_fn, in_shardings) where in_shardings = (w, pos, y)
+    NamedShardings suitable for ``jax.device_put``.
     """
     coeffs = jnp.asarray(coeffs)
     N = coeffs.shape[0]
@@ -94,19 +100,31 @@ def make_fastsum_train_step(
             return jax.lax.psum(local, (data_axis, points_axis)) / denom
 
         loss, grad = jax.value_and_grad(loss_fn)(w)
-        return w - learning_rate * grad, loss
+        return grad, loss
 
     spec3 = P(data_axis, points_axis, None)
-    step = shard_map_step = jax.shard_map(
+    grad_step = jax.shard_map(
         local_step,
         mesh=mesh,
         in_specs=(spec3, spec3, spec3, P(*([None] * coeffs.ndim))),
         out_specs=(spec3, P()),
     )
 
-    @jax.jit
-    def step_fn(w, pos, y):
-        return shard_map_step(w, pos, y, coeffs)
+    if optimizer is None:
+
+        @jax.jit
+        def step_fn(w, pos, y):
+            grad, loss = grad_step(w, pos, y, coeffs)
+            return w - learning_rate * grad, loss
+
+    else:
+        import optax
+
+        @jax.jit
+        def step_fn(w, pos, y, opt_state):
+            grad, loss = grad_step(w, pos, y, coeffs)
+            updates, opt_state = optimizer.update(grad, opt_state, w)
+            return optax.apply_updates(w, updates), loss, opt_state
 
     shardings = tuple(NamedSharding(mesh, spec3) for _ in range(3))
     return step_fn, shardings
