@@ -26,7 +26,8 @@ from .ops.ndft import (
     ndft_fastsum,
     ndft_forward,
 )
-from .ops.nfft import nfft_adjoint, nfft_fastsum, nfft_forward
+from .ops.binned import BinnedPlan, build_plan
+from .ops.nfft import clear_plan_cache, nfft_adjoint, nfft_fastsum, nfft_forward
 from .ops.planar import (
     nfft_adjoint_planar,
     nfft_fastsum_real,
@@ -47,6 +48,9 @@ __all__ = [
     "nfft_forward",
     "nfft_adjoint",
     "nfft_fastsum",
+    "BinnedPlan",
+    "build_plan",
+    "clear_plan_cache",
     "nfft_adjoint_planar",
     "nfft_forward_planar",
     "nfft_fastsum_real",

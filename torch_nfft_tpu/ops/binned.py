@@ -41,7 +41,13 @@ import jax.numpy as jnp
 
 from .window import window_inv_b, window_inv_sqrt_b_pi
 
-__all__ = ["BinnedPlan", "build_plan", "spread_binned", "gather_binned"]
+__all__ = [
+    "BinnedPlan",
+    "build_plan",
+    "spread_binned",
+    "gather_binned",
+    "position_fingerprint",
+]
 
 # High-precision contractions: TPU default (single bf16 pass) costs ~4e-3
 # relative error, far above the NFFT window error budget. HIGH (3-pass bf16)
@@ -78,6 +84,11 @@ class BinnedPlan:
     sigma: float
     T: int
     K: int
+    # identity of the point set the plan was built on (used by the loud
+    # plan-mismatch checks in ops/nfft.py): the batch count and the host-side
+    # bin-id fingerprint from position_fingerprint()
+    batch_size: int | None = None
+    pos_fp: int | None = None
     # host-side sorted layout (NumPy; not shipped to the device; dropped by
     # pytree round-trips): point ids in (batch, tile) order and each row's
     # contiguous run of `order`
@@ -107,12 +118,24 @@ class BinnedPlan:
             self.inv_slot,
             self.row_count,
         )
-        aux = (self.n, self.dim, self.N, self.m, self.sigma, self.T, self.K)
+        aux = (
+            self.n, self.dim, self.N, self.m, self.sigma, self.T, self.K,
+            self.batch_size, self.pos_fp,
+        )
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, *aux)
+
+
+def position_fingerprint(pos, M: int, m: int) -> int:
+    """Cheap exact fingerprint of the binning geometry: the sum of all
+    window-start bin ids. Two point sets that bin identically execute
+    identically under a plan, so this is exactly the invariant to check."""
+    pos = np.asarray(pos, dtype=np.float32)
+    s_mod = (np.floor(pos * M).astype(np.int64) - m) % M
+    return int(s_mod.sum())
 
 
 def default_tile(dim: int, m: int, M: int) -> int:
@@ -202,6 +225,8 @@ def build_plan(
             sigma=float(sigma),
             T=int(T),
             K=int(K_used),
+            batch_size=int(batch_size),
+            pos_fp=position_fingerprint(pos, M, m),
         )
 
     # window start cell, wrapped; tile index and tile id per point
@@ -271,6 +296,8 @@ def build_plan(
         sigma=float(sigma),
         T=int(T),
         K=int(K),
+        batch_size=int(batch_size),
+        pos_fp=position_fingerprint(pos, M, m),
     )
 
 
@@ -495,6 +522,10 @@ def spread_binned(plan: BinnedPlan, x, pos, *, batch_size: int):
     fused Pallas kernel; its custom VJP falls back to the differentiable XLA
     path, so gradients (incl. positions) are always available.
     """
+    # The plan binned float32-cast positions; run the device window math in
+    # the same dtype so a float64 point near a cell boundary can't floor()
+    # into a tile whose planned halo misses its last window cell.
+    pos = pos.astype(jnp.float32)
     if not _use_pallas(plan, x.shape[1], x.dtype):
         return _spread_xla(plan, x, pos, batch_size)
 
@@ -631,6 +662,9 @@ def _gather_pallas(plan: BinnedPlan, g_flat, pos):
 def gather_binned(plan: BinnedPlan, g_flat, pos):
     """Gather from the flat grid back to the points: (n, C). Transpose of
     :func:`spread_binned`; Pallas-fused on TPU (3D), XLA otherwise."""
+    # float32 for the same plan/device binning-consistency reason as
+    # spread_binned.
+    pos = pos.astype(jnp.float32)
     if not _use_pallas(plan, g_flat.shape[1], g_flat.dtype):
         return _gather_xla(plan, g_flat, pos)
 

@@ -73,13 +73,42 @@ def _coeffs_from_grid_values(vals: jax.Array, dim: int, N: int) -> jax.Array:
     (fftshift in, kernel_coeffs.cu:145) + CUFFT_FORWARD (core_cuda.cu:1046)
     + copy_interpolated_kernel_coeffs_kernel (fftshift out and 1/N^dim scale,
     kernel_coeffs.cu:179-202). N even makes fftshift == ifftshift.
+
+    On complex-free backends (axon TPU) the FFT runs on the host in NumPy —
+    coefficient generation is a one-time concrete N^dim computation, never a
+    hot path (reference runs it once per GaussianKernel, kernel.py:96). Real
+    periodically-even samples (every radial kernel) yield real coefficients,
+    which is the only form the complex-free device can hold; genuinely
+    complex coefficients raise an actionable error there.
     """
+    axes = tuple(range(dim))
+    from .nfft import _complex_ok
+
+    if not isinstance(vals, jax.core.Tracer) and not _complex_ok():
+        v = np.asarray(vals)
+        out = (
+            np.fft.fftshift(
+                np.fft.fftn(np.fft.fftshift(v, axes=axes), axes=axes), axes=axes
+            )
+            / N**dim
+        )
+        scale = float(np.abs(out).max()) or 1.0
+        if float(np.abs(out.imag).max()) > 1e-5 * scale:
+            raise ValueError(
+                "interpolated kernel coefficients are complex-valued, which "
+                "the active backend cannot represent (no complex dtype). "
+                "Radially symmetric kernel samples produce real coefficients;"
+                " for asymmetric kernels force a complex-capable platform or "
+                "set TORCH_NFFT_TPU_COMPLEX=1."
+            )
+        out_dtype = np.float64 if v.dtype == np.float64 else np.float32
+        return jnp.asarray(out.real.astype(out_dtype))
+
     cdtype = (
         vals.dtype
         if jnp.issubdtype(vals.dtype, jnp.complexfloating)
         else (jnp.complex128 if vals.dtype == jnp.float64 else jnp.complex64)
     )
-    axes = tuple(range(dim))
     b = jnp.fft.fftshift(vals.astype(cdtype), axes=axes)
     b_hat = jnp.fft.fftn(b, axes=axes)
     return jnp.fft.fftshift(b_hat, axes=axes) / (N**dim)

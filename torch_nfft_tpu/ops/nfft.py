@@ -24,7 +24,10 @@ with k in [-N/2, N/2)^dim. cuFFT's unnormalized transforms map to
 from __future__ import annotations
 
 import math
+from collections import OrderedDict
 from functools import partial
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -65,39 +68,54 @@ def _normalize_batch(batch, n, batch_size):
 
 
 
+# Tri-state override for tests / emergencies: None = auto-detect per call.
 _COMPLEX_OK = None
 
 
 def _complex_ok() -> bool:
     """Whether the active backend can run complex64 FFTs (mainline CPU/TPU:
-    yes; the axon TPU runtime exposes no complex dtype at all). Detected from
-    the selected platform — execution-probing is unsafe (a failed complex op
+    yes; the axon TPU runtime exposes no complex dtype at all). Re-derived on
+    every call from the actually-selected backend's platform_version, so
+    switching platforms mid-process (jax.config.update / JAX_PLATFORMS) is
+    always picked up — execution-probing is unsafe (a failed complex op
     poisons the process on exactly the runtimes to detect) and AOT
     compilation accepts complex that the runtime rejects. When complex is
     unavailable the real-valued planar pipelines (ops/planar.py) take over
     where the math allows. Override with TORCH_NFFT_TPU_COMPLEX=0/1."""
-    global _COMPLEX_OK
-    if _COMPLEX_OK is None:
-        import os
+    if _COMPLEX_OK is not None:
+        return _COMPLEX_OK
+    import os
 
-        env = os.environ.get("TORCH_NFFT_TPU_COMPLEX")
-        if env is not None:
-            _COMPLEX_OK = env not in ("0", "false", "no")
-            return _COMPLEX_OK
-        # jax.config (set via jax.config.update) wins over the env var —
-        # forcing CPU the documented way must re-enable the complex path.
-        platforms = (
-            getattr(jax.config, "jax_platforms", None)
-            or os.environ.get("JAX_PLATFORMS", "")
-            or ""
-        )
-        _COMPLEX_OK = "axon" not in platforms.lower()
-    return _COMPLEX_OK
+    env = os.environ.get("TORCH_NFFT_TPU_COMPLEX")
+    if env is not None:
+        return env not in ("0", "false", "no")
+    try:
+        version = jax.devices()[0].client.platform_version
+    except Exception:
+        version = ""
+    return "axon" not in version.lower()
 
 
-def _check_plan(plan, N, m, sigma):
+def _no_complex_error(op: str) -> ValueError:
+    """Actionable failure instead of an opaque XLA runtime error when a
+    complex-valued pipeline is requested on a complex-free backend."""
+    return ValueError(
+        f"{op} needs a complex-valued FFT pipeline, but the active backend "
+        "has no complex/FFT support (axon TPU runtime). Either pass "
+        "real_output=True with real inputs (routes through the pure-real "
+        "planar pipeline), call the planar APIs directly "
+        "(torch_nfft_tpu.ops.planar.nfft_adjoint_planar / "
+        "nfft_forward_planar / nfft_fastsum_real), or force the complex "
+        "path with TORCH_NFFT_TPU_COMPLEX=1 if your runtime does support it."
+    )
+
+
+def _check_plan(plan, N, m, sigma, pos=None, batch_size=None):
     """A plan with mismatched window geometry would be silently wrong (the
-    grid shapes still line up when only m differs), so fail loudly."""
+    grid shapes still line up when only m differs), so fail loudly. The same
+    goes for a plan built on a different point set: point count, batch count
+    and — when the positions are host-side NumPy, where it is free — a
+    bin-id fingerprint are all verified."""
     if plan is None:
         return
     if (plan.N, plan.m) != (N, m) or plan.sigma != float(sigma):
@@ -105,6 +123,62 @@ def _check_plan(plan, N, m, sigma):
             f"plan was built for (N={plan.N}, m={plan.m}, sigma={plan.sigma}) "
             f"but the transform uses (N={N}, m={m}, sigma={float(sigma)})"
         )
+    if pos is not None and not isinstance(pos, jax.core.Tracer):
+        if plan.n != pos.shape[0]:
+            raise ValueError(
+                f"plan was built for n={plan.n} points but pos has "
+                f"{pos.shape[0]} rows — rebuild the plan for this point set"
+            )
+    if (
+        batch_size is not None
+        and plan.batch_size is not None
+        and plan.batch_size != batch_size
+    ):
+        raise ValueError(
+            f"plan was built for batch_size={plan.batch_size} but the "
+            f"transform uses batch_size={batch_size}"
+        )
+    if (
+        pos is not None
+        and isinstance(pos, np.ndarray)
+        and plan.pos_fp is not None
+    ):
+        from .binned import position_fingerprint
+
+        fp = position_fingerprint(pos, plan.M, plan.m)
+        if fp != plan.pos_fp:
+            raise ValueError(
+                "plan does not match these positions (bin-id fingerprint "
+                "differs) — plans are tied to the exact point set they were "
+                "built on; rebuild with build_plan(pos, ...)"
+            )
+
+
+# Keyed LRU over eagerly-built plans: repeated eager transforms on the same
+# point set pay plan construction once (reference contrast: the CUDA code
+# recomputes shifts/psi every call, core_cuda.cu:192-204). Entries hold
+# device arrays, so the cap stays small; clear_plan_cache() frees them.
+_PLAN_CACHE: OrderedDict = OrderedDict()
+_PLAN_CACHE_MAX = 4
+
+
+def clear_plan_cache() -> None:
+    """Drop all cached eager plans (frees their device arrays)."""
+    _PLAN_CACHE.clear()
+
+
+def _plan_cache_key(pos, batch, N, m, sigma, batch_size):
+    """Content hash of the exact inputs that determine a plan. Hashing reads
+    the positions on the host — same cost class as the host-side plan build
+    it saves; callers on slow device links should pass ``plan=`` instead."""
+    import hashlib
+
+    a = np.ascontiguousarray(np.asarray(pos, dtype=np.float32))
+    h = hashlib.blake2b(digest_size=16)
+    h.update(a.tobytes())
+    if batch is not None:
+        h.update(np.ascontiguousarray(np.asarray(batch, np.int32)).tobytes())
+    return (h.digest(), a.shape, N, m, float(sigma), batch_size)
 
 
 def _maybe_build_plan(strategy, plan, pos, batch, N, m, sigma, batch_size, C=1):
@@ -115,7 +189,7 @@ def _maybe_build_plan(strategy, plan, pos, batch, N, m, sigma, batch_size, C=1):
     is the only fast path on TPU runtimes without a good scatter.
     """
     if plan is not None:
-        _check_plan(plan, N, m, sigma)
+        _check_plan(plan, N, m, sigma, pos, batch_size)
         return plan, strategy
     if strategy == "auto":
         if isinstance(pos, jax.core.Tracer):
@@ -133,7 +207,15 @@ def _maybe_build_plan(strategy, plan, pos, batch, N, m, sigma, batch_size, C=1):
         return None, "scatter"
     from .binned import build_plan
 
-    plan = build_plan(pos, batch, N=N, m=m, sigma=sigma, batch_size=batch_size)
+    key = _plan_cache_key(pos, batch, N, m, sigma, batch_size)
+    plan = _PLAN_CACHE.get(key)
+    if plan is None:
+        plan = build_plan(pos, batch, N=N, m=m, sigma=sigma, batch_size=batch_size)
+        _PLAN_CACHE[key] = plan
+        while len(_PLAN_CACHE) > _PLAN_CACHE_MAX:
+            _PLAN_CACHE.popitem(last=False)
+    else:
+        _PLAN_CACHE.move_to_end(key)
     return plan, "auto"
 
 
@@ -197,7 +279,9 @@ def nfft_adjoint(
     N = int(bandwidth if N is None else N)
     m = int(cutoff if m is None else m)
     x = jnp.asarray(x)
-    pos = jnp.asarray(pos)
+    # NumPy positions stay on the host here: plan checks/builds read them for
+    # free, and the jitted impls take them as-is.
+    pos = pos if isinstance(pos, np.ndarray) else jnp.asarray(pos)
     batch, batch_size = _normalize_batch(batch, pos.shape[0], batch_size)
     plan, strategy = _maybe_build_plan(
         strategy, plan, pos, batch, N, m, sigma, batch_size,
@@ -225,6 +309,9 @@ def nfft_adjoint(
             strategy=strategy,
         )
         return yr.reshape((batch_size,) + (N,) * pos.shape[1] + trailing)
+
+    if not _complex_ok():
+        raise _no_complex_error("nfft_adjoint with complex output")
 
     return _nfft_adjoint_impl(
         x,
@@ -295,7 +382,7 @@ def nfft_forward(
     """
     m = int(cutoff if m is None else m)
     x = jnp.asarray(x)
-    pos = jnp.asarray(pos)
+    pos = pos if isinstance(pos, np.ndarray) else jnp.asarray(pos)
     dim = pos.shape[1]
     batch, batch_size = _normalize_batch(batch, pos.shape[0], batch_size)
     if x.shape[0] != batch_size:
@@ -330,6 +417,9 @@ def nfft_forward(
             strategy=strategy,
         )
         return yr.reshape((pos.shape[0],) + trailing)
+
+    if not _complex_ok():
+        raise _no_complex_error("nfft_forward with complex output")
 
     return _nfft_forward_impl(
         x,
@@ -435,17 +525,20 @@ def nfft_fastsum(
     m_ = int(cutoff if m is None else m)
     x = jnp.asarray(x)
     coeffs = jnp.asarray(coeffs)
-    sources = jnp.asarray(sources)
-    symmetric = targets is None or targets is sources
+    sources = sources if isinstance(sources, np.ndarray) else jnp.asarray(sources)
     if targets is None:
         targets = sources
         target_batch = source_batch
         if target_plan is None:
             target_plan = source_plan
-    targets = jnp.asarray(targets)
+    targets = targets if isinstance(targets, np.ndarray) else jnp.asarray(targets)
     if batch is not None:
         source_batch = batch
         target_batch = batch
+    # The shared-plan shortcut needs identical batch assignment too (same
+    # guard as GramMatrix.is_symmetric; reference core_cuda.cu:552 compares
+    # only the point tensors because its batches are one argument).
+    symmetric = targets is sources and target_batch is source_batch
 
     N = coeffs.shape[0]
     if coeffs.ndim != sources.shape[1]:
@@ -500,6 +593,9 @@ def nfft_fastsum(
             strategy=strategy,
         )
         return y.reshape((targets.shape[0],) + trailing)
+
+    if not _complex_ok():
+        raise _no_complex_error("nfft_fastsum with complex inputs")
 
     return _nfft_fastsum_impl(
         x,
