@@ -147,3 +147,131 @@ def test_position_gradients_forward(rng):
         g_fd[i, 0] = (up - dn) / (2 * eps)
     rel = np.abs(g - g_fd).max() / np.abs(g_fd).max()
     assert rel < 5e-2
+
+# ---------------------------------------------------------------------------
+# Round-2 additions (VERDICT missing item #6): fastsum position/coefficient
+# gradients and gradients through the planar (pure-real) pipelines. All are
+# extensions over the reference, which forbids them (nfft.py:66-73).
+# ---------------------------------------------------------------------------
+
+
+def test_fastsum_position_gradients(rng):
+    n, dim, N, m = 6, 2, 16, 4
+    pos0, _ = make_points(rng, n, dim)
+    tgt0, _ = make_points(rng, n, dim)
+    x = jnp.asarray(rng.random((n, 1), dtype=np.float32))
+    coeffs = tn.gaussian_analytic_coeffs(0.25, dim=dim, N=N)
+
+    def loss_src(src):
+        return jnp.sum(tn.nfft_fastsum(x, coeffs, src, jnp.asarray(tgt0), cutoff=m) ** 2)
+
+    def loss_tgt(tgt):
+        return jnp.sum(tn.nfft_fastsum(x, coeffs, jnp.asarray(pos0), tgt, cutoff=m) ** 2)
+
+    for loss, p0 in ((loss_src, pos0), (loss_tgt, tgt0)):
+        g = np.asarray(jax.grad(loss)(jnp.asarray(p0)))
+        eps = 2e-4
+        g_fd = np.zeros_like(p0)
+        for i in range(n):
+            for d in range(dim):
+                p = p0.copy()
+                p[i, d] += eps
+                up = float(loss(jnp.asarray(p)))
+                p[i, d] -= 2 * eps
+                dn = float(loss(jnp.asarray(p)))
+                g_fd[i, d] = (up - dn) / (2 * eps)
+        rel = np.abs(g - g_fd).max() / np.abs(g_fd).max()
+        assert rel < 5e-2, rel
+
+
+def test_fastsum_coeffs_gradients(rng):
+    n, dim, N, m = 8, 2, 8, 3
+    pos, _ = make_points(rng, n, dim)
+    x = jnp.asarray(rng.random((n, 1), dtype=np.float32))
+    c0 = np.asarray(tn.gaussian_analytic_coeffs(0.25, dim=dim, N=N))
+
+    def loss(c):
+        return jnp.sum(tn.nfft_fastsum(x, c, jnp.asarray(pos), cutoff=m) ** 2)
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(c0)))
+    g_fd = _fd_grad(lambda c: float(loss(jnp.asarray(c))), c0, eps=1e-3)
+    rel = np.abs(g - g_fd).max() / np.abs(g_fd).max()
+    assert rel < 5e-3, rel
+
+
+def test_planar_adjoint_gradients(rng):
+    from torch_nfft_tpu.ops.planar import nfft_adjoint_planar
+
+    n, dim, N, m = 6, 2, 16, 4
+    pos0, _ = make_points(rng, n, dim)
+    x0 = rng.random((n, 2), dtype=np.float32)
+    b = jnp.zeros((n,), jnp.int32)
+
+    def loss_x(x):
+        yr, yi = nfft_adjoint_planar(x, jnp.asarray(pos0), b, batch_size=1, N=N, m=m)
+        return jnp.sum(yr**2 + yi**2)
+
+    g = np.asarray(jax.grad(loss_x)(jnp.asarray(x0)))
+    g_fd = _fd_grad(lambda x: float(loss_x(jnp.asarray(x))), x0, eps=1e-3)
+    assert np.abs(g - g_fd).max() / np.abs(g_fd).max() < 5e-3
+
+    def loss_p(pos):
+        yr, yi = nfft_adjoint_planar(jnp.asarray(x0), pos, b, batch_size=1, N=N, m=m)
+        return jnp.sum(yr**2 + yi**2)
+
+    g = np.asarray(jax.grad(loss_p)(jnp.asarray(pos0)))
+    eps = 2e-4
+    g_fd = np.zeros_like(pos0)
+    for i in range(n):
+        for d in range(dim):
+            p = pos0.copy()
+            p[i, d] += eps
+            up = float(loss_p(jnp.asarray(p)))
+            p[i, d] -= 2 * eps
+            dn = float(loss_p(jnp.asarray(p)))
+            g_fd[i, d] = (up - dn) / (2 * eps)
+    assert np.abs(g - g_fd).max() / np.abs(g_fd).max() < 5e-2
+
+
+def test_planar_fastsum_real_gradients(rng):
+    from torch_nfft_tpu.ops.planar import nfft_fastsum_real
+
+    n, dim, N, m = 6, 2, 8, 3
+    pos, _ = make_points(rng, n, dim)
+    x0 = rng.random((n, 1), dtype=np.float32)
+    coeffs = tn.gaussian_analytic_coeffs(0.25, dim=dim, N=N)
+    p = jnp.asarray(pos)
+    b = jnp.zeros((n,), jnp.int32)
+
+    def loss(x):
+        y = nfft_fastsum_real(x, coeffs, p, p, b, b, batch_size=1, N=N, m=m)
+        return jnp.sum(y**2)
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(x0)))
+    g_fd = _fd_grad(lambda x: float(loss(jnp.asarray(x))), x0, eps=1e-3)
+    assert np.abs(g - g_fd).max() / np.abs(g_fd).max() < 5e-3
+
+
+def test_binned_plan_gradients_match_unplanned(rng):
+    """Gradients through the planned (binned) engine equal the plan-free
+    scatter engine's — including position gradients through the Pallas
+    custom-vjp wrapper path."""
+    n, dim, N, m = 300, 2, 16, 4
+    pos0, _ = make_points(rng, n, dim)
+    x = jnp.asarray(rng.random((n, 1), dtype=np.float32))
+    plan = tn.build_plan(pos0, None, N=N, m=m)
+
+    def loss_planned(pos):
+        return jnp.sum(
+            tn.nfft_adjoint(x, pos, N=N, m=m, plan=plan, real_output=True) ** 2
+        )
+
+    def loss_scatter(pos):
+        return jnp.sum(
+            tn.nfft_adjoint(x, pos, N=N, m=m, strategy="scatter", real_output=True) ** 2
+        )
+
+    p = jnp.asarray(pos0)
+    g1 = np.asarray(jax.grad(loss_planned)(p))
+    g2 = np.asarray(jax.grad(loss_scatter)(p))
+    np.testing.assert_allclose(g1, g2, rtol=1e-3, atol=1e-4)
