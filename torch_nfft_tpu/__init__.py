@@ -33,6 +33,13 @@ from .ops.planar import (
     nfft_fastsum_real,
     nfft_forward_planar,
 )
+from .ops.streaming import (
+    StreamedLayout,
+    make_streamed_layout,
+    nfft_adjoint_streamed,
+    nfft_fastsum_streamed,
+    nfft_forward_streamed,
+)
 from . import parallel
 from .utils.diagnostics import accuracy_check
 from .utils.points import (
@@ -54,6 +61,11 @@ __all__ = [
     "nfft_adjoint_planar",
     "nfft_forward_planar",
     "nfft_fastsum_real",
+    "StreamedLayout",
+    "make_streamed_layout",
+    "nfft_adjoint_streamed",
+    "nfft_forward_streamed",
+    "nfft_fastsum_streamed",
     "parallel",
     "ndft_forward",
     "ndft_adjoint",
