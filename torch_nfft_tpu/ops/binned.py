@@ -451,7 +451,12 @@ def _spread_xla(plan: BinnedPlan, x, pos, batch_size: int):
             mode=jax.lax.GatherScatterMode.CLIP,
         )
 
-    ge = jax.lax.fori_loop(0, n_chunks, body, ge)
+    # Chunk 0 outside the loop: under shard_map the updates are varying over
+    # the manual axis while the zeros carry is replicated, and a fori_loop
+    # rejects that type mismatch — seeding the carry with one varying chunk
+    # fixes it generically (and is a no-op otherwise).
+    ge = body(0, ge)
+    ge = jax.lax.fori_loop(1, n_chunks, body, ge)
     g = _fold_extension(ge, plan)  # (B, C, (M,)*dim)
     # pipeline layout: (B * M^dim, C)
     g = jnp.moveaxis(g, 1, -1)
@@ -504,10 +509,9 @@ def _spread_pallas(plan: BinnedPlan, x, pos, batch_size: int):
             ge_acc, starts, updates, dnums, mode=jax.lax.GatherScatterMode.CLIP
         )
 
-    if n_chunks == 1:
-        ge = body(0, ge)
-    else:
-        ge = jax.lax.fori_loop(0, n_chunks, body, ge)
+    ge = body(0, ge)  # seed varying carry (see _spread_xla)
+    if n_chunks > 1:
+        ge = jax.lax.fori_loop(1, n_chunks, body, ge)
     g = _fold_extension(ge, plan)
     g = jnp.moveaxis(g, 1, -1)
     return g.reshape(batch_size * M**dim, C)
@@ -608,7 +612,8 @@ def _gather_xla(plan: BinnedPlan, g_flat, pos):
             out_acc, y.reshape(R * K, C), sl * K, 0
         )
 
-    out = jax.lax.fori_loop(0, n_chunks, body, out)
+    out = body(0, out)  # seed varying carry (see _spread_xla)
+    out = jax.lax.fori_loop(1, n_chunks, body, out)
     return jnp.take(out, plan.inv_slot, axis=0)
 
 
@@ -652,7 +657,8 @@ def _gather_pallas(plan: BinnedPlan, g_flat, pos):
                 tiles_acc, chunk_tiles(org, rb, Rc), sl, 0
             )
 
-        tiles = jax.lax.fori_loop(0, n_chunks, body, tiles)[:S]
+        tiles = body(0, tiles)  # seed varying carry (see _spread_xla)
+        tiles = jax.lax.fori_loop(1, n_chunks, body, tiles)[:S]
     y = gather_points_pallas(plan, tiles, pos, C=C)  # (S, C, K)
     out = jnp.swapaxes(y, 1, 2).reshape(S * K, C).astype(g_flat.dtype)
     return jnp.take(out, plan.inv_slot, axis=0)

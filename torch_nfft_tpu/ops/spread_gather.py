@@ -128,7 +128,10 @@ def _spread_scatter(x, pos, batch, batch_size, N, m, sigma, point_chunk):
             vals.reshape(-1, C), mode="drop", unique_indices=False
         )
 
-    return jax.lax.fori_loop(0, n_chunks, body, g)
+    # Chunk 0 outside the loop: seeds a shard_map-varying carry (the zeros
+    # init is replicated while updates vary over the manual axis).
+    g = body(0, g)
+    return jax.lax.fori_loop(1, n_chunks, body, g)
 
 
 def _gather_scatter(g_flat, pos, batch, N, m, sigma, point_chunk):
@@ -161,7 +164,8 @@ def _gather_scatter(g_flat, pos, batch, N, m, sigma, point_chunk):
         y_c = jnp.einsum("nw,nwc->nc", weights.astype(vals.real.dtype), vals, precision=_P)
         return jax.lax.dynamic_update_slice_in_dim(y_acc, y_c, sl, 0)
 
-    y = jax.lax.fori_loop(0, n_chunks, body, y)
+    y = body(0, y)  # seed varying carry (see _spread_scatter)
+    y = jax.lax.fori_loop(1, n_chunks, body, y)
     return y[:n]
 
 

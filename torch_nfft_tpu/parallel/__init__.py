@@ -17,6 +17,7 @@ grid. The TPU-native scaling design replaces that with explicit SPMD over a
 
 from .mesh import make_mesh, pad_points
 from .sharded import (
+    build_sharded_plans,
     nfft_adjoint_sharded,
     nfft_fastsum_sharded,
     nfft_forward_sharded,
@@ -26,6 +27,7 @@ from .training import make_fastsum_train_step
 __all__ = [
     "make_mesh",
     "pad_points",
+    "build_sharded_plans",
     "nfft_adjoint_sharded",
     "nfft_forward_sharded",
     "nfft_fastsum_sharded",

@@ -24,11 +24,14 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from ..ops.nfft import DEFAULT_SIGMA, _complex_dtype_for
+from ..ops.plan_stack import squeeze_plan
 from ..ops.spectral import (
     apply_phi_hat_inv,
     centered_crop,
@@ -42,9 +45,63 @@ __all__ = [
     "nfft_forward_sharded",
     "nfft_fastsum_sharded",
     "fastsum_local",
+    "build_sharded_plans",
 ]
 
 shard_map = jax.shard_map
+
+
+def build_sharded_plans(
+    pos,
+    batch=None,
+    *,
+    n_shards: int,
+    N: int,
+    m: int,
+    sigma: float = DEFAULT_SIGMA,
+    batch_size: int | None = None,
+):
+    """Per-shard binned plans for the sharded transforms.
+
+    Under ``shard_map`` positions are traced, so the transforms cannot build
+    plans themselves and would degrade to XLA scatter — exactly where scale
+    matters most. This builds one plan per contiguous point shard (matching
+    the default axis-0 sharding that ``pad_points`` + a P(points_axis) spec
+    produce) and stacks them; pass the result as ``plans=`` to the sharded
+    transforms, which slice their member inside the shard_map body.
+
+    ``pos`` (n, dim) must divide evenly into ``n_shards`` (use
+    :func:`~torch_nfft_tpu.parallel.pad_points` first). The per-shard plans
+    carry the *global* batch indices, so every shard spreads into the right
+    grid rows before the psum.
+    """
+    pos = np.asarray(pos)
+    n = pos.shape[0]
+    if n % n_shards:
+        raise ValueError(f"n={n} not divisible by n_shards={n_shards}; pad_points first")
+    n_loc = n // n_shards
+    if batch is None:
+        batch = np.zeros((n,), np.int32)
+        batch_size = 1 if batch_size is None else batch_size
+    batch = np.asarray(batch, np.int32)
+    if batch_size is None:
+        batch_size = int(batch[-1]) + 1
+
+    from ..ops.binned import build_plan
+    from ..ops.plan_stack import pad_plan_rows, stack_plans
+
+    plans, K, T = [], None, None
+    for s in range(n_shards):
+        sl = slice(s * n_loc, (s + 1) * n_loc)
+        p = build_plan(
+            pos[sl], batch[sl], N=N, m=m, sigma=sigma, batch_size=batch_size,
+            T=T, K=K,
+        )
+        if K is None:
+            K, T = p.K, p.T
+        plans.append(p)
+    S_max = max(p.slot_pt.shape[0] for p in plans)
+    return stack_plans([pad_plan_rows(p, S_max) for p in plans])
 
 
 def fastsum_local(
@@ -62,6 +119,8 @@ def fastsum_local(
     strategy="auto",
     points_axis=None,
     cdtype=None,
+    source_plan=None,
+    target_plan=None,
 ):
     """Per-shard fastsum body: spread(local) -> [psum] -> IFFT -> band filter
     -> FFT -> gather(local). Callable inside any shard_map (pass
@@ -74,7 +133,7 @@ def fastsum_local(
     if cdtype is None:
         cdtype = jnp.result_type(_complex_dtype_for(xf), _complex_dtype_for(coeffs))
 
-    g = spread(xf, sources, source_batch, batch_size, N, m, sigma, strategy)
+    g = spread(xf, sources, source_batch, batch_size, N, m, sigma, strategy, plan=source_plan)
     if points_axis is not None:
         g = jax.lax.psum(g, points_axis)
     g = g.reshape((batch_size,) + (M,) * dim + (C,))
@@ -83,7 +142,7 @@ def fastsum_local(
     g_hat = g_hat * filt[None, ..., None].astype(cdtype)
     g2 = jnp.fft.fftn(g_hat, axes=tuple(range(1, dim + 1)))
     g2_flat = g2.reshape(batch_size * M**dim, C)
-    y = gather(g2_flat, targets, target_batch, batch_size, N, m, sigma, strategy)
+    y = gather(g2_flat, targets, target_batch, batch_size, N, m, sigma, strategy, plan=target_plan)
     if not jnp.issubdtype(xf.dtype, jnp.complexfloating):
         y = y.real
     return y
@@ -110,9 +169,12 @@ def nfft_adjoint_sharded(
     batch_size=None,
     sigma=DEFAULT_SIGMA,
     strategy="auto",
+    plans=None,
 ):
     """Multi-chip adjoint NFFT. Points sharded over ``points_axis``; the
     (batch, N^dim, cols) spectrum is returned replicated over that axis.
+    Pass ``plans=`` from :func:`build_sharded_plans` to run the fast binned
+    engine per shard instead of XLA scatter.
     """
     N, m = int(bandwidth), int(cutoff)
     x = jnp.asarray(x)
@@ -129,8 +191,9 @@ def nfft_adjoint_sharded(
     C = math.prod(trailing) if trailing else 1
     xf = x.reshape(n, C)
 
-    def local(xf, pos, batch):
-        g = spread(xf, pos, batch, batch_size, N, m, sigma, strategy)
+    def local(xf, pos, batch, plans):
+        plan = None if plans is None else squeeze_plan(plans)
+        g = spread(xf, pos, batch, batch_size, N, m, sigma, strategy, plan=plan)
         g = jax.lax.psum(g, points_axis)
         g = g.reshape((batch_size,) + (M,) * dim + (C,))
         g_hat = jnp.fft.ifftn(
@@ -146,10 +209,15 @@ def nfft_adjoint_sharded(
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(points_axis, *cspec), P(points_axis, None), P(points_axis)),
+        in_specs=(
+            P(points_axis, *cspec),
+            P(points_axis, None),
+            P(points_axis),
+            P(points_axis),
+        ),
         out_specs=P(None, *([None] * dim), *cspec),
     )
-    y = jax.jit(fn)(xf, pos, batch)
+    y = jax.jit(fn)(xf, pos, batch, plans)
     return y.reshape((batch_size,) + (N,) * dim + trailing)
 
 
@@ -166,9 +234,11 @@ def nfft_forward_sharded(
     batch_size=None,
     sigma=DEFAULT_SIGMA,
     strategy="auto",
+    plans=None,
 ):
     """Multi-chip forward NFFT. The spectral input is replicated over the
     point axis; the per-point output comes back sharded over it.
+    ``plans=`` from :func:`build_sharded_plans` enables the binned engine.
     """
     m = int(cutoff)
     x = jnp.asarray(x)
@@ -184,22 +254,28 @@ def nfft_forward_sharded(
     C = math.prod(trailing) if trailing else 1
     xc = x.reshape((batch_size,) + (N,) * dim + (C,)).astype(_complex_dtype_for(x))
 
-    def local(xc, pos, batch):
+    def local(xc, pos, batch, plans):
+        plan = None if plans is None else squeeze_plan(plans)
         xw = apply_phi_hat_inv(xc, dim, N, m, sigma, spatial_axis0=1)
         g_hat = centered_embed(xw, dim, N, M, spatial_axis0=1)
         g = jnp.fft.fftn(g_hat, axes=tuple(range(1, dim + 1)))
         g_flat = g.reshape(batch_size * M**dim, C)
-        y = gather(g_flat, pos, batch, batch_size, N, m, sigma, strategy)
+        y = gather(g_flat, pos, batch, batch_size, N, m, sigma, strategy, plan=plan)
         return y.real if real_output else y
 
     cspec = (cols_axis,)
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(None, *([None] * dim), *cspec), P(points_axis, None), P(points_axis)),
+        in_specs=(
+            P(None, *([None] * dim), *cspec),
+            P(points_axis, None),
+            P(points_axis),
+            P(points_axis),
+        ),
         out_specs=P(points_axis, *cspec),
     )
-    y = jax.jit(fn)(xc, pos, batch)
+    y = jax.jit(fn)(xc, pos, batch, plans)
     return y.reshape((n,) + trailing)
 
 
@@ -220,9 +296,13 @@ def nfft_fastsum_sharded(
     batch_size=None,
     sigma=DEFAULT_SIGMA,
     strategy="auto",
+    source_plans=None,
+    target_plans=None,
 ):
     """Multi-chip fastsum: sources and targets both sharded over the point
-    axis, one psum of the oversampled grid in between.
+    axis, one psum of the oversampled grid in between. ``source_plans=`` /
+    ``target_plans=`` from :func:`build_sharded_plans` enable the binned
+    engine per shard.
     """
     m = int(cutoff)
     x = jnp.asarray(x)
@@ -252,7 +332,7 @@ def nfft_fastsum_sharded(
     xf = x.reshape(n_src, C)
     cdtype = jnp.result_type(_complex_dtype_for(x), _complex_dtype_for(coeffs))
 
-    def local(xf, sources, source_batch, targets, target_batch, coeffs):
+    def local(xf, sources, source_batch, targets, target_batch, coeffs, sp, tp):
         return fastsum_local(
             xf,
             sources,
@@ -267,6 +347,8 @@ def nfft_fastsum_sharded(
             strategy=strategy,
             points_axis=points_axis,
             cdtype=cdtype,
+            source_plan=None if sp is None else squeeze_plan(sp),
+            target_plan=None if tp is None else squeeze_plan(tp),
         )
 
     cspec = (cols_axis,)
@@ -280,8 +362,13 @@ def nfft_fastsum_sharded(
             P(points_axis, None),
             P(points_axis),
             P(*([None] * dim)),
+            P(points_axis),
+            P(points_axis),
         ),
         out_specs=P(points_axis, *cspec),
     )
-    y = jax.jit(fn)(xf, sources, source_batch, targets, target_batch, coeffs)
+    y = jax.jit(fn)(
+        xf, sources, source_batch, targets, target_batch, coeffs,
+        source_plans, target_plans,
+    )
     return y.reshape((n_tgt,) + trailing)
