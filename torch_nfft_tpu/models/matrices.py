@@ -194,12 +194,17 @@ class GramMatrix(AbstractMatrix):
         )
 
 
+@jax.tree_util.register_pytree_node_class
 class AdjacencyMatrix(AbstractMatrix):
     """Graph adjacency operator on top of a symmetric GramMatrix.
 
     Supports a diagonal (self-loop) offset, degree normalization
     ("sym" | "left" | "right" | "rw"), Laplacian / signless shifts and a
     degree threshold with warning. Reference: matrices.py:74-175.
+
+    Registered as a pytree like the other operators, so the one stateful
+    operator (precomputed degrees) checkpoints/serializes too; unflattening
+    restores the saved degree arrays instead of recomputing row sums.
     """
 
     def __init__(
@@ -312,3 +317,26 @@ class AdjacencyMatrix(AbstractMatrix):
             transposed.d_inv = self.d_inv
             return transposed
         return self
+
+    # -- pytree protocol ----------------------------------------------------
+    _DEGREE_FIELDS = ("d_inv_sqrt", "d_inv", "degrees")
+
+    def tree_flatten(self):
+        arrays = {
+            name: getattr(self, name)
+            for name in self._DEGREE_FIELDS
+            if hasattr(self, name)
+        }
+        children = (self.gram_matrix, arrays)
+        aux = (self.shape, self.diagonal_offset, self.normalization, self.shift)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        gram_matrix, arrays = children
+        obj = object.__new__(cls)
+        obj.shape, obj.diagonal_offset, obj.normalization, obj.shift = aux
+        obj.gram_matrix = gram_matrix
+        for name, value in arrays.items():
+            setattr(obj, name, value)
+        return obj

@@ -96,6 +96,12 @@ def _complex_ok() -> bool:
     return "axon" not in version.lower()
 
 
+def _debug() -> bool:
+    from ..utils.debug import debug_enabled
+
+    return debug_enabled()
+
+
 def _no_complex_error(op: str) -> ValueError:
     """Actionable failure instead of an opaque XLA runtime error when a
     complex-valued pipeline is requested on a complex-free backend."""
@@ -283,6 +289,10 @@ def nfft_adjoint(
     # free, and the jitted impls take them as-is.
     pos = pos if isinstance(pos, np.ndarray) else jnp.asarray(pos)
     batch, batch_size = _normalize_batch(batch, pos.shape[0], batch_size)
+    if _debug():
+        from ..utils.debug import validate_inputs
+
+        validate_inputs(pos, batch, batch_size)
     plan, strategy = _maybe_build_plan(
         strategy, plan, pos, batch, N, m, sigma, batch_size,
         C=math.prod(x.shape[1:]) if x.ndim > 1 else 1,
@@ -389,6 +399,10 @@ def nfft_forward(
         raise ValueError(
             f"x.shape[0] = {x.shape[0]} must equal batch_size = {batch_size}"
         )
+    if _debug():
+        from ..utils.debug import validate_inputs
+
+        validate_inputs(pos, batch, batch_size)
     plan, strategy = _maybe_build_plan(
         strategy, plan, pos, batch, x.shape[1], m, sigma, batch_size,
         C=math.prod(x.shape[1 + pos.shape[1]:]) if x.ndim > 1 + pos.shape[1] else 1,
@@ -555,6 +569,11 @@ def nfft_fastsum(
         raise ValueError(
             f"source batch size {bs_src} != target batch size {bs_tgt}"
         )
+    if _debug():
+        from ..utils.debug import validate_inputs
+
+        validate_inputs(sources, source_batch, bs_src)
+        validate_inputs(targets, target_batch, bs_tgt)
 
     _C_fs = math.prod(x.shape[1:]) if x.ndim > 1 else 1
     source_plan, strat_src = _maybe_build_plan(
