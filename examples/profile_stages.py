@@ -1,0 +1,94 @@
+"""Stage-level timing of the 3D headline pipeline on the attached TPU.
+
+Times each pipeline stage as its own jitted call (device-synchronized via a
+scalar reduction), so stage costs include their own boundary transfers but
+not each other. Usage: python examples/profile_stages.py [n_points_log2]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from torch_nfft_tpu.ops.binned import build_plan, spread_binned_dft, gather_binned_dft
+from torch_nfft_tpu.ops.fft import (
+    spectral_adjoint_pruned_dft,
+    spectral_forward_pruned_dft,
+)
+
+
+def timeit(fn, *args, iters=3):
+    # Force execution with a host read of a scalar: block_until_ready alone
+    # is unreliable on lazy backends (see bench.py).
+    jfn = jax.jit(lambda *a: jnp.sum(fn(*a).real))
+    float(jfn(*args))
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(jfn(*args))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def main():
+    logn = int(sys.argv[1]) if len(sys.argv) > 1 else 22
+    n, N, dim, m = 1 << logn, 256, 3, 4
+    M = 2 * N
+    rng = np.random.default_rng(7)
+    pos_np = (rng.random((n, dim), dtype=np.float32) - 0.5) / 2.0
+    pos = jnp.asarray(pos_np)
+    x = jnp.asarray(rng.standard_normal((n, 1)).astype(np.float32))
+
+    t0 = time.perf_counter()
+    plan = build_plan(pos_np, None, N=N, m=m, batch_size=1)
+    print(f"plan: {time.perf_counter()-t0:.2f}s rows={plan.slot_pt.shape[0]} K={plan.K}", flush=True)
+
+    spread_j = jax.jit(lambda x, p: spread_binned_dft(plan, x, p, batch_size=1))
+    t_spread = timeit(spread_j, x, pos)
+    g = spread_j(x, pos)
+    print(f"spread_dft:  {t_spread*1e3:8.1f} ms  out={g.shape}", flush=True)
+
+    adj_j = jax.jit(lambda g: spectral_adjoint_pruned_dft(g, None, dim, N, m, 2.0)[0])
+    t_adj = timeit(adj_j, g)
+    y = adj_j(g)
+    yr = y
+    yi = jnp.zeros_like(y)
+    print(f"adj_dft:     {t_adj*1e3:8.1f} ms  out={y.shape}", flush=True)
+
+    fwd_j = jax.jit(lambda a, b: spectral_forward_pruned_dft(a, b, dim, M, m, 2.0)[0])
+    t_fwd = timeit(fwd_j, yr, yi)
+    g2 = fwd_j(yr, yi)
+    print(f"fwd_dft:     {t_fwd*1e3:8.1f} ms  out={g2.shape}", flush=True)
+
+    gath_j = jax.jit(lambda g, p: gather_binned_dft(plan, g, p))
+    t_gath = timeit(gath_j, g2, pos)
+    print(f"gather_dft:  {t_gath*1e3:8.1f} ms", flush=True)
+
+    total = t_spread + t_adj + t_fwd + t_gath
+    print(f"sum (spread + adj + fwd + gather ~ pair): {total*1e3:.1f} ms", flush=True)
+
+    if os.environ.get("PROFILE_XLA_PATH"):
+        from torch_nfft_tpu.ops import binned as _b
+
+        sx = jax.jit(lambda x, p: _b._spread_dft_xla(plan, x, p, 1))
+        print(f"spread_xla:  {timeit(sx, x, pos)*1e3:8.1f} ms", flush=True)
+        gx = jax.jit(lambda g, p: _b._gather_dft_xla(plan, g, p))
+        print(f"gather_xla:  {timeit(gx, g2, pos)*1e3:8.1f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -39,6 +39,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .tilefold import (
+    fold_tiles_to_grid,
+    fold_tiles_to_grid_dft,
+    row_tile_ids,
+    unfold_grid_to_tiles,
+    unfold_grid_to_tiles_dft,
+    use_fold,
+)
 from .window import window_inv_b, window_inv_sqrt_b_pi
 
 __all__ = [
@@ -46,6 +54,8 @@ __all__ = [
     "build_plan",
     "spread_binned",
     "gather_binned",
+    "spread_binned_dft",
+    "gather_binned_dft",
     "position_fingerprint",
 ]
 
@@ -400,7 +410,76 @@ def _scatter_dnums(dim: int):
 
 
 def _spread_xla(plan: BinnedPlan, x, pos, batch_size: int):
-    """Differentiable XLA spread: chunked einsum tiles + windowed scatter."""
+    """Differentiable XLA spread: chunked einsum tiles moved to the grid by
+    the dense overlap-add fold (ops/tilefold.py) when the geometry allows,
+    else by windowed scatter."""
+    if use_fold(plan, x.shape[1], jnp.dtype(x.dtype).itemsize, batch_size):
+        return _spread_xla_fold(plan, x, pos, batch_size)
+    return _spread_xla_windowed(plan, x, pos, batch_size)
+
+
+def _tiles_for_chunk(plan: BinnedPlan, x, pos, pt, vmask, org):
+    """Row halo tiles for one row chunk, C-major: (R, C, (H,)*dim)."""
+    dim = plan.dim
+    xs = jnp.take(x, pt, axis=0) * vmask[..., None].astype(x.dtype)  # (R,K,C)
+    pos_s = jnp.take(pos, pt, axis=0)  # (R,K,dim)
+    A = _row_windows(plan, pos_s, org).astype(x.real.dtype)  # (R,K,dim,H)
+    if dim == 1:
+        return _es("rku,rkc->rcu", A[:, :, 0], xs)
+    if dim == 2:
+        t1 = _es("rkv,rkc->rkcv", A[:, :, 1], xs)
+        return _es("rku,rkcv->rcuv", A[:, :, 0], t1)
+    t1 = _es("rkw,rkc->rkcw", A[:, :, 2], xs)
+    t2 = _es("rkv,rkcw->rkcvw", A[:, :, 1], t1)
+    return _es("rku,rkcvw->rcuvw", A[:, :, 0], t2)
+
+
+def _spread_xla_fold(plan: BinnedPlan, x, pos, batch_size: int):
+    acc = _dense_tiles_xla(plan, x, pos, batch_size)
+    return fold_tiles_to_grid(acc, plan, batch_size, x.shape[1])
+
+
+def _dense_tiles_xla(plan: BinnedPlan, x, pos, batch_size: int):
+    """Chunked einsum tiles accumulated into the dense tile array (NT, F)
+    with one scalar index per row — negligible layout padding."""
+    dim, H, K, M, T = plan.dim, plan.H, plan.K, plan.M, plan.T
+    nb = M // T
+    C = x.shape[1]
+    NT = batch_size * nb**dim
+    F = C * H**dim
+    S = plan.slot_pt.shape[0]
+    R = _pick_row_chunk(S, K, H, dim, C, jnp.dtype(x.dtype).itemsize)
+    n_chunks = -(-S // R)
+    S_pad = n_chunks * R
+
+    slot_pt = jnp.pad(plan.slot_pt, ((0, S_pad - S), (0, 0)))
+    row_count = jnp.pad(plan.row_count, (0, S_pad - S))
+    origin = jnp.pad(plan.origin, ((0, S_pad - S), (0, 0)))
+    # pad rows scatter out of range and are dropped
+    tid = jnp.pad(row_tile_ids(plan), (0, S_pad - S), constant_values=NT)
+    k_iota = jnp.arange(K, dtype=jnp.int32)[None, :]
+
+    acc = jnp.zeros((NT, F), dtype=x.dtype)
+
+    def body(i, acc):
+        sl = i * R
+        pt = jax.lax.dynamic_slice_in_dim(slot_pt, sl, R, 0)
+        rc = jax.lax.dynamic_slice_in_dim(row_count, sl, R, 0)
+        vmask = (k_iota < rc[:, None]).astype(jnp.float32)
+        org = jax.lax.dynamic_slice_in_dim(origin, sl, R, 0)
+        t_id = jax.lax.dynamic_slice_in_dim(tid, sl, R, 0)
+        tiles = _tiles_for_chunk(plan, x, pos, pt, vmask, org)
+        return acc.at[t_id].add(
+            tiles.reshape(R, F), mode="drop", indices_are_sorted=True
+        )
+
+    acc = body(0, acc)  # seed varying carry (see _spread_xla_windowed)
+    return jax.lax.fori_loop(1, n_chunks, body, acc)
+
+
+def _spread_xla_windowed(plan: BinnedPlan, x, pos, batch_size: int):
+    """Windowed-scatter fallback for geometries the fold cannot cover
+    (M % T != 0 or dense tile array over budget)."""
     dim, H, K = plan.dim, plan.H, plan.K
     M = plan.M
     C = x.shape[1]
@@ -415,20 +494,6 @@ def _spread_xla(plan: BinnedPlan, x, pos, batch_size: int):
     row_batch = jnp.pad(plan.row_batch, (0, S_pad - S))
     k_iota = jnp.arange(K, dtype=jnp.int32)[None, :]
 
-    def tiles_for(pt, vmask, org):
-        """Row halo tiles, C-major: (R, C, (H,)*dim)."""
-        xs = jnp.take(x, pt, axis=0) * vmask[..., None].astype(x.dtype)  # (R,K,C)
-        pos_s = jnp.take(pos, pt, axis=0)  # (R,K,dim)
-        A = _row_windows(plan, pos_s, org).astype(x.real.dtype)  # (R,K,dim,H)
-        if dim == 1:
-            return _es("rku,rkc->rcu", A[:, :, 0], xs)
-        if dim == 2:
-            t1 = _es("rkv,rkc->rkcv", A[:, :, 1], xs)
-            return _es("rku,rkcv->rcuv", A[:, :, 0], t1)
-        t1 = _es("rkw,rkc->rkcw", A[:, :, 2], xs)
-        t2 = _es("rkv,rkcw->rkcvw", A[:, :, 1], t1)
-        return _es("rku,rkcvw->rcuvw", A[:, :, 0], t2)
-
     Mx = M + H
     ge = jnp.zeros((batch_size, C) + (Mx,) * dim, dtype=x.dtype)
     dnums = _scatter_dnums(dim)
@@ -440,7 +505,7 @@ def _spread_xla(plan: BinnedPlan, x, pos, batch_size: int):
         vmask = (k_iota < rc[:, None]).astype(jnp.float32)
         org = jax.lax.dynamic_slice_in_dim(origin, sl, R, 0)
         rb = jax.lax.dynamic_slice_in_dim(row_batch, sl, R, 0)
-        tiles = tiles_for(pt, vmask, org)
+        tiles = _tiles_for_chunk(plan, x, pos, pt, vmask, org)
         updates = tiles[:, None]  # (R, 1, C, (H,)*dim)
         starts = _row_starts(plan, org, rb)
         return jax.lax.scatter_add(
@@ -480,11 +545,30 @@ def _tile_chunk_rows(S: int, H: int, dim: int, C: int) -> int:
     return int(max(1, min(S, (3 << 31) // max(1, padded_tile))))
 
 
-def _spread_pallas(plan: BinnedPlan, x, pos, batch_size: int):
-    """Fused Pallas tiles + chunked windowed scatter."""
+def _dense_tiles_pallas(plan: BinnedPlan, x, pos, batch_size: int):
+    """Fused Pallas per-row tiles accumulated into the dense (NT, F) array."""
     from .pallas.contract import spread_tiles_pallas
 
     dim, H, M, C = plan.dim, plan.H, plan.M, x.shape[1]
+    tiles = spread_tiles_pallas(plan, x.astype(jnp.float32), pos, C=C)
+    tiles = tiles.astype(x.dtype)  # (S, C, H, H^{dim-1})
+    S = tiles.shape[0]
+    nb = M // plan.T
+    NT = batch_size * nb**dim
+    F = C * H**dim
+    return jnp.zeros((NT, F), dtype=x.dtype).at[row_tile_ids(plan)].add(
+        tiles.reshape(S, F), mode="drop", indices_are_sorted=True
+    )
+
+
+def _spread_pallas(plan: BinnedPlan, x, pos, batch_size: int):
+    """Fused Pallas tiles + dense-fold (or windowed-scatter fallback)."""
+    from .pallas.contract import spread_tiles_pallas
+
+    dim, H, M, C = plan.dim, plan.H, plan.M, x.shape[1]
+    if use_fold(plan, C, jnp.dtype(x.dtype).itemsize, batch_size):
+        acc = _dense_tiles_pallas(plan, x, pos, batch_size)
+        return fold_tiles_to_grid(acc, plan, batch_size, C)
     tiles = spread_tiles_pallas(plan, x.astype(jnp.float32), pos, C=C)
     tiles = tiles.astype(x.dtype)  # (S, C, H, H*H): modest padding
     S = tiles.shape[0]
@@ -549,10 +633,77 @@ def spread_binned(plan: BinnedPlan, x, pos, *, batch_size: int):
     return f(x, pos)
 
 
-def _gather_xla(plan: BinnedPlan, g_flat, pos):
+def _row_values_from_tiles(plan: BinnedPlan, pos, pt, vmask, org, tiles):
+    """tiles: (R, C, (H,)*dim) -> per-slot values (R, K, C)."""
+    dim = plan.dim
+    pos_s = jnp.take(pos, pt, axis=0)
+    A = _row_windows(plan, pos_s, org).astype(tiles.real.dtype)
+    if dim == 1:
+        y = _es("rku,rcu->rkc", A[:, :, 0], tiles)
+    elif dim == 2:
+        t1 = _es("rku,rcuv->rkcv", A[:, :, 0], tiles)
+        y = _es("rkv,rkcv->rkc", A[:, :, 1], t1)
+    else:
+        t1 = _es("rku,rcuvw->rkcvw", A[:, :, 0], tiles)
+        t2 = _es("rkv,rkcvw->rkcw", A[:, :, 1], t1)
+        y = _es("rkw,rkcw->rkc", A[:, :, 2], t2)
+    return y * vmask[..., None].astype(y.dtype)
 
-    """Gather from the flat grid back to the points: (n, C). Transpose of
-    :func:`spread_binned` (same tiles, contraction reversed)."""
+
+def _gather_xla(plan: BinnedPlan, g_flat, pos):
+    """Differentiable XLA gather: dense tile unfold + contraction when the
+    fold geometry allows, else windowed lax.gather."""
+    batch_size = g_flat.shape[0] // plan.M**plan.dim
+    if use_fold(plan, g_flat.shape[1], jnp.dtype(g_flat.dtype).itemsize, batch_size):
+        return _gather_xla_fold(plan, g_flat, pos, batch_size)
+    return _gather_xla_windowed(plan, g_flat, pos)
+
+
+def _gather_xla_fold(plan: BinnedPlan, g_flat, pos, batch_size: int):
+    """Unfold the grid into the dense halo-tile array (reshape/roll reads),
+    then contract per-row tiles fetched with one contiguous take per row."""
+    tiles_dense = unfold_grid_to_tiles(g_flat, plan, batch_size)
+    return _points_from_tiles_xla(plan, tiles_dense, pos)
+
+
+def _points_from_tiles_xla(plan: BinnedPlan, tiles_dense, pos):
+    """Dense tile4 array (NT, C, H, H^{dim-1}) -> per-point values (n, C)."""
+    dim, H, K = plan.dim, plan.H, plan.K
+    C = tiles_dense.shape[1]
+    S = plan.slot_pt.shape[0]
+    R = _pick_row_chunk(S, K, H, dim, C, jnp.dtype(tiles_dense.dtype).itemsize)
+    n_chunks = -(-S // R)
+    S_pad = n_chunks * R
+
+    slot_pt = jnp.pad(plan.slot_pt, ((0, S_pad - S), (0, 0)))
+    row_count = jnp.pad(plan.row_count, (0, S_pad - S))
+    origin = jnp.pad(plan.origin, ((0, S_pad - S), (0, 0)))
+    tid = jnp.pad(row_tile_ids(plan), (0, S_pad - S))  # pad rows read tile 0, masked
+    k_iota = jnp.arange(K, dtype=jnp.int32)[None, :]
+
+    out = jnp.zeros((S_pad * K, C), dtype=tiles_dense.dtype)
+
+    def body(i, out_acc):
+        sl = i * R
+        pt = jax.lax.dynamic_slice_in_dim(slot_pt, sl, R, 0)
+        rc = jax.lax.dynamic_slice_in_dim(row_count, sl, R, 0)
+        vmask = (k_iota < rc[:, None]).astype(jnp.float32)
+        org = jax.lax.dynamic_slice_in_dim(origin, sl, R, 0)
+        t_id = jax.lax.dynamic_slice_in_dim(tid, sl, R, 0)
+        tiles = jnp.take(tiles_dense, t_id, axis=0)  # (R, C, H, H^{dim-1})
+        tiles = tiles.reshape((R, C) + (H,) * dim)
+        y = _row_values_from_tiles(plan, pos, pt, vmask, org, tiles)
+        return jax.lax.dynamic_update_slice_in_dim(
+            out_acc, y.reshape(R * K, C), sl * K, 0
+        )
+
+    out = body(0, out)  # seed varying carry (see _spread_xla_windowed)
+    out = jax.lax.fori_loop(1, n_chunks, body, out)
+    return jnp.take(out, plan.inv_slot, axis=0)
+
+
+def _gather_xla_windowed(plan: BinnedPlan, g_flat, pos):
+    """Windowed-gather fallback (see _spread_xla_windowed)."""
     dim, H, K, M = plan.dim, plan.H, plan.K, plan.M
     C = g_flat.shape[1]
     S = plan.slot_pt.shape[0]
@@ -576,21 +727,6 @@ def _gather_xla(plan: BinnedPlan, g_flat, pos):
     dnums = _gather_dnums(dim)
     slice_sizes = (1, C) + (H,) * dim
 
-    def row_values(pt, vmask, org, tiles):
-        """tiles: (R, C, (H,)*dim) -> per-slot values (R, K, C)."""
-        pos_s = jnp.take(pos, pt, axis=0)
-        A = _row_windows(plan, pos_s, org).astype(g_flat.real.dtype)
-        if dim == 1:
-            y = _es("rku,rcu->rkc", A[:, :, 0], tiles)
-        elif dim == 2:
-            t1 = _es("rku,rcuv->rkcv", A[:, :, 0], tiles)
-            y = _es("rkv,rkcv->rkc", A[:, :, 1], t1)
-        else:
-            t1 = _es("rku,rcuvw->rkcvw", A[:, :, 0], tiles)
-            t2 = _es("rkv,rkcvw->rkcw", A[:, :, 1], t1)
-            y = _es("rkw,rkcw->rkc", A[:, :, 2], t2)
-        return y * vmask[..., None].astype(y.dtype)
-
     out = jnp.zeros((S_pad * K, C), dtype=g_flat.dtype)
 
     def body(i, out_acc):
@@ -607,12 +743,12 @@ def _gather_xla(plan: BinnedPlan, g_flat, pos):
             mode=jax.lax.GatherScatterMode.CLIP,
         )[:, 0]  # (R, C, (H,)*dim)
 
-        y = row_values(pt, vmask, org, tiles)
+        y = _row_values_from_tiles(plan, pos, pt, vmask, org, tiles)
         return jax.lax.dynamic_update_slice_in_dim(
             out_acc, y.reshape(R * K, C), sl * K, 0
         )
 
-    out = body(0, out)  # seed varying carry (see _spread_xla)
+    out = body(0, out)  # seed varying carry (see _spread_xla_windowed)
     out = jax.lax.fori_loop(1, n_chunks, body, out)
     return jnp.take(out, plan.inv_slot, axis=0)
 
@@ -623,11 +759,24 @@ def _gather_pallas(plan: BinnedPlan, g_flat, pos):
     dim, H, M, K = plan.dim, plan.H, plan.M, plan.K
     C = g_flat.shape[1]
     batch_size = g_flat.shape[0] // M**dim
+    S = plan.slot_pt.shape[0]
+
+    if use_fold(plan, C, jnp.dtype(g_flat.dtype).itemsize, batch_size):
+        # Dense unfold (reshape/roll reads); the kernel reads each row's tile
+        # straight out of the dense array via a prefetched tile index, so
+        # consecutive rows of one tile reuse the VMEM-resident block.
+        tiles_dense = unfold_grid_to_tiles(g_flat, plan, batch_size)
+        tiles_dense = tiles_dense.astype(jnp.float32)  # (NT, C, H, H*H)
+        y = gather_points_pallas(
+            plan, tiles_dense, pos, C=C, tile_index=row_tile_ids(plan)
+        )  # (S, C, K)
+        out = jnp.swapaxes(y, 1, 2).reshape(S * K, C).astype(g_flat.dtype)
+        return jnp.take(out, plan.inv_slot, axis=0)
+
     gx = g_flat.reshape((batch_size,) + (M,) * dim + (C,))
     gx = jnp.moveaxis(gx, -1, 1)
     gx = _extend_grid(gx, plan)
 
-    S = plan.slot_pt.shape[0]
     Rc = _tile_chunk_rows(S, H, dim, C)
     n_chunks = -(-S // Rc)
     S_pad = n_chunks * Rc
@@ -688,3 +837,92 @@ def gather_binned(plan: BinnedPlan, g_flat, pos):
 
     f.defvjp(f_fwd, f_bwd)
     return f(g_flat, pos)
+
+
+# ---------------------------------------------------------------------------
+# DFT-layout entry points: identical math to spread_binned / gather_binned,
+# but the grid travels in the layout (B, M_1, ..., M_{dim-1}, C, M_0) that
+# the layout-careful 3D fold produces natively and the pruned spectral
+# matmuls (ops/fft.py:spectral_*_pruned_dft) consume directly — the planar
+# pipelines chain them with zero intermediate grid transposes.
+# ---------------------------------------------------------------------------
+
+
+def _spread_dft_xla(plan: BinnedPlan, x, pos, batch_size: int):
+    acc = _dense_tiles_xla(plan, x, pos, batch_size)
+    return fold_tiles_to_grid_dft(acc, plan, batch_size, x.shape[1])
+
+
+def _spread_dft_pallas(plan: BinnedPlan, x, pos, batch_size: int):
+    acc = _dense_tiles_pallas(plan, x, pos, batch_size)
+    return fold_tiles_to_grid_dft(acc, plan, batch_size, x.shape[1])
+
+
+@partial(jax.jit, static_argnames=("batch_size",))
+def spread_binned_dft(plan: BinnedPlan, x, pos, *, batch_size: int):
+    """spread_binned in the DFT grid layout. Requires a fold-capable plan
+    (use_fold(...) must hold — checked by the planar pipeline dispatch)."""
+    pos = pos.astype(jnp.float32)
+    if not _use_pallas(plan, x.shape[1], x.dtype):
+        return _spread_dft_xla(plan, x, pos, batch_size)
+
+    @jax.custom_vjp
+    def f(x, pos):
+        return _spread_dft_pallas(plan, x, pos, batch_size)
+
+    def f_fwd(x, pos):
+        return f(x, pos), (x, pos)
+
+    def f_bwd(res, g):
+        xr, posr = res
+        _, vjp = jax.vjp(
+            lambda a, b: _spread_dft_xla(plan, a, b, batch_size), xr, posr
+        )
+        return vjp(g)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(x, pos)
+
+
+def _gather_dft_xla(plan: BinnedPlan, g_dft, pos):
+    batch_size = g_dft.shape[0]
+    tiles_dense = unfold_grid_to_tiles_dft(g_dft, plan, batch_size)
+    return _points_from_tiles_xla(plan, tiles_dense, pos)
+
+
+def _gather_dft_pallas(plan: BinnedPlan, g_dft, pos):
+    from .pallas.contract import gather_points_pallas
+
+    batch_size = g_dft.shape[0]
+    C = g_dft.shape[-2]
+    S, K = plan.slot_pt.shape
+    tiles_dense = unfold_grid_to_tiles_dft(g_dft, plan, batch_size)
+    y = gather_points_pallas(
+        plan, tiles_dense.astype(jnp.float32), pos, C=C,
+        tile_index=row_tile_ids(plan),
+    )  # (S, C, K)
+    out = jnp.swapaxes(y, 1, 2).reshape(S * K, C).astype(g_dft.dtype)
+    return jnp.take(out, plan.inv_slot, axis=0)
+
+
+@jax.jit
+def gather_binned_dft(plan: BinnedPlan, g_dft, pos):
+    """gather_binned from a DFT-layout grid (B, M_1, ..., C, M_0)."""
+    pos = pos.astype(jnp.float32)
+    if not _use_pallas(plan, g_dft.shape[-2], g_dft.dtype):
+        return _gather_dft_xla(plan, g_dft, pos)
+
+    @jax.custom_vjp
+    def f(g_dft, pos):
+        return _gather_dft_pallas(plan, g_dft, pos)
+
+    def f_fwd(g_dft, pos):
+        return f(g_dft, pos), (g_dft, pos)
+
+    def f_bwd(res, g):
+        gr, posr = res
+        _, vjp = jax.vjp(lambda a, b: _gather_dft_xla(plan, a, b), gr, posr)
+        return vjp(g)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(g_dft, pos)

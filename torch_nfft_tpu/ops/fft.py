@@ -32,7 +32,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["dft_planar", "fftn_planar", "DIRECT_MAX"]
+__all__ = [
+    "dft_planar",
+    "fftn_planar",
+    "DIRECT_MAX",
+    "PRUNED_MAX",
+    "spectral_adjoint_pruned",
+    "spectral_forward_pruned",
+    "spectral_adjoint_pruned_dft",
+    "spectral_forward_pruned_dft",
+]
 
 # Largest axis length handled by a single dense DFT-matrix pass. 128 matches
 # the MXU systolic dimension; cost per element is M <= 128 MACs, which is
@@ -152,4 +161,145 @@ def fftn_planar(xr, xi, axes, sign: int):
     """Unnormalized planar DFT over multiple axes (separable passes)."""
     for ax in axes:
         xr, xi = dft_planar(xr, xi, ax, sign)
+    return xr, xi
+
+
+# ---------------------------------------------------------------------------
+# Pruned spectral transforms: the NFFT only ever uses the centered N-band of
+# the M = sigma*N oversampled spectrum (the adjoint crops to it,
+# core_cuda.cu:298-303; the forward embeds from it, core_cuda.cu:405-413; the
+# fastsum filter zeroes everything outside it,
+# spectral_window_operations.cu:313-324). Folding the crop/embed, the
+# fftshift index map AND the separable phi_hat_inv rolloff into ONE (M, N)
+# DFT matrix per axis prunes ~3.4x of the FLOPs at sigma=2 and turns the
+# whole spectral stage into dense MXU matmuls with no index shuffling at all.
+# ---------------------------------------------------------------------------
+
+# Largest oversampled axis length the pruned direct matrices handle; above
+# this the O(M*N) per-line cost loses to the four-step's O(M log M) and the
+# pipelines fall back to fftn_planar + explicit crop/embed.
+PRUNED_MAX = 2048
+
+
+@lru_cache(maxsize=None)
+def _pruned_mats_np(N: int, M: int, m: int, sigma: float, sign: int):
+    """(cos, sin) of the pruned planar DFT matrix, shape (M, N), float32.
+
+    Column j holds frequency k = j - N/2 (the centered layout, frequency k
+    stored at index k + N/2, reference nfft.py:119-121 / kernel_coeffs.cu:56);
+    row a is the oversampled grid index. Entries are
+
+        D[a, j] = e^{sign * 2*pi*i * a * k / M} * phi_hat_inv(k)
+
+    which equals (unnormalized M-point DFT) x (fftshift crop to the centered
+    band) x (rolloff correction) in one matrix: the DFT reads frequency
+    k mod M, and e^{2*pi*i*a*(k mod M)/M} == e^{2*pi*i*a*k/M} exactly.
+    """
+    k = np.arange(N, dtype=np.float64) - N // 2
+    a = np.arange(M, dtype=np.float64)
+    theta = 2.0 * np.pi * np.outer(a, k) / M
+    # phi_hat_inv(k) = exp(k^2 * b * (pi/M)^2), ops/window.py:phi_hat_inv_param
+    b = 2.0 * sigma * m / ((2.0 * sigma - 1.0) * np.pi)
+    phinv = np.exp(k * k * (b * (np.pi / M) ** 2))
+    cr = np.cos(theta) * phinv[None, :]
+    ci = np.sin(theta) * sign * phinv[None, :]
+    return cr.astype(np.float32), ci.astype(np.float32)
+
+
+def _axis_contract(x, mat, ax: int):
+    """Real contraction of axis ``ax`` with an (L_in, L_out) matrix, as a
+    batched matmul (pre, L, post) x (L, L_out) -> (pre, L_out, post)."""
+    pre = math.prod(x.shape[:ax])
+    L = x.shape[ax]
+    post = math.prod(x.shape[ax + 1 :])
+    out_shape = x.shape[:ax] + (mat.shape[1],) + x.shape[ax + 1 :]
+    x2 = x.reshape(pre, L, post)
+    if post == 1:
+        y = _mm(x2[:, :, 0], mat)[:, :, None]
+    else:
+        y = jnp.einsum("alq,lj->ajq", x2, mat, precision=MATMUL_PRECISION)
+    return y.reshape(out_shape)
+
+
+def _axis_contract_planar(xr, xi, mr, mi, ax: int):
+    """(xr + i*xi) contracted along ``ax`` with (mr + i*mi); xi may be None."""
+    rr = _axis_contract(xr, mr, ax)
+    ri = _axis_contract(xr, mi, ax)
+    if xi is None:
+        return rr, ri
+    ir = _axis_contract(xi, mr, ax)
+    ii = _axis_contract(xi, mi, ax)
+    return rr - ii, ri + ir
+
+
+def spectral_adjoint_pruned(gr, gi, dim: int, N: int, m: int, sigma: float,
+                            spatial_axis0: int = 1):
+    """Oversampled planar grid -> centered spectrum, rolloff-corrected.
+
+    Fuses ``fftn_planar(sign=+1)`` + ``centered_crop`` + ``apply_phi_hat_inv``
+    (the adjoint tail, core_cuda.cu:267-335) into dim pruned matmuls.
+    gr/gi: (..., (M,)*dim, ...C) with spatial axes starting at spatial_axis0;
+    gi may be None. Returns planar (yr, yi) with those axes of length N.
+    """
+    M = gr.shape[spatial_axis0]
+    cr, ci = _pruned_mats_np(N, M, m, float(sigma), +1)
+    mr = jnp.asarray(cr)
+    mi = jnp.asarray(ci)
+    for d in range(dim):
+        gr, gi = _axis_contract_planar(gr, gi, mr, mi, spatial_axis0 + d)
+    return gr, gi
+
+
+def spectral_forward_pruned(xr, xi, dim: int, M: int, m: int, sigma: float,
+                            spatial_axis0: int = 1):
+    """Centered spectrum -> oversampled planar grid, rolloff-corrected.
+
+    Fuses ``apply_phi_hat_inv`` + ``centered_embed`` + ``fftn_planar(sign=-1)``
+    (the forward head, core_cuda.cu:390-450). The matrix is the transpose of
+    the adjoint one with the opposite sign. xi may be None.
+    """
+    N = xr.shape[spatial_axis0]
+    cr, ci = _pruned_mats_np(N, M, m, float(sigma), -1)
+    mr = jnp.asarray(np.ascontiguousarray(cr.T))
+    mi = jnp.asarray(np.ascontiguousarray(ci.T))
+    for d in range(dim):
+        xr, xi = _axis_contract_planar(xr, xi, mr, mi, spatial_axis0 + d)
+    return xr, xi
+
+
+def spectral_adjoint_pruned_dft(gr, gi, dim: int, N: int, m: int, sigma: float):
+    """DFT-layout grid (B, M_1, ..., M_{dim-1}, C, M_0) -> standard centered
+    spectrum (B, (N,)*dim, C).
+
+    Same math as :func:`spectral_adjoint_pruned`, but consumes the grid
+    layout the 3D tile fold produces natively (ops/tilefold.py): grid axis 0
+    sits minor and is contracted first as a plain (pre, M) @ (M, N) matmul;
+    the output re-permutes on the small N^dim array.
+    """
+    M = gr.shape[-1]
+    cr, ci = _pruned_mats_np(N, M, m, float(sigma), +1)
+    mr = jnp.asarray(cr)
+    mi = jnp.asarray(ci)
+    gr, gi = _axis_contract_planar(gr, gi, mr, mi, gr.ndim - 1)  # M0 -> N0
+    for d in range(1, dim):
+        gr, gi = _axis_contract_planar(gr, gi, mr, mi, d)
+    perm = [0, gr.ndim - 1] + list(range(1, gr.ndim - 1))
+    return gr.transpose(perm), gi.transpose(perm)
+
+
+def spectral_forward_pruned_dft(xr, xi, dim: int, M: int, m: int, sigma: float):
+    """Standard centered spectrum (B, (N,)*dim, C) -> DFT-layout grid
+    (B, M_1, ..., M_{dim-1}, C, M_0). Mirror of
+    :func:`spectral_adjoint_pruned_dft`; the input permutation happens on the
+    small N^dim array, the contractions grow it axis by axis."""
+    N = xr.shape[1]
+    cr, ci = _pruned_mats_np(N, M, m, float(sigma), -1)
+    mr = jnp.asarray(np.ascontiguousarray(cr.T))
+    mi = jnp.asarray(np.ascontiguousarray(ci.T))
+    perm = [0] + list(range(2, dim + 2)) + [1]
+    xr = xr.transpose(perm)
+    xi = None if xi is None else xi.transpose(perm)
+    xr, xi = _axis_contract_planar(xr, xi, mr, mi, xr.ndim - 1)  # N0 -> M0
+    for d in range(1, dim):
+        xr, xi = _axis_contract_planar(xr, xi, mr, mi, d)
     return xr, xi

@@ -129,6 +129,8 @@ def _gather_kernel(
     org0_ref,
     org1_ref,
     org2_ref,
+    tile_index_ref,  # scalar prefetch (S,): tile block id per row (drives the
+    # tile_in_ref index map; unused in the body)
     tile_in_ref,  # (1, C, H, H*H) block
     data_ref,  # (F, K) block: rows [0:3]=coords
     y_ref,  # (1, C, K) block
@@ -218,23 +220,33 @@ def spread_tiles_pallas(plan, x, pos, *, C):
 
 
 @functools.partial(jax.jit, static_argnames=("C",))
-def gather_points_pallas(plan, tiles, pos, *, C):
-    """Fused point interpolation: (S, C, H, H*H) tiles -> (S, C, K) slot
-    values (ops/binned.py maps slots back to points via plan.inv_slot)."""
+def gather_points_pallas(plan, tiles, pos, *, C, tile_index=None):
+    """Fused point interpolation: halo tiles -> (S, C, K) slot values
+    (ops/binned.py maps slots back to points via plan.inv_slot).
+
+    ``tiles`` is (NT, C, H, H*H); row s of the grid reads tile block
+    ``tile_index[s]`` (defaults to the identity, i.e. per-row tiles). With the
+    dense-fold layout consecutive rows of one tile share the block, so Mosaic
+    keeps it resident in VMEM instead of re-fetching.
+    """
     S = plan.slot_pt.shape[0]
     K, H, M, m = plan.K, plan.H, plan.M, plan.m
     inv_b = window_inv_b(m, plan.sigma)
     amp = window_inv_sqrt_b_pi(m, plan.sigma)
+    if tile_index is None:
+        tile_index = jnp.arange(S, dtype=jnp.int32)
 
     data = plan.slot_pos  # (dim, S*K): zero per-call gathers
     F = data.shape[0]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(S,),
         in_specs=[
             pl.BlockSpec(
-                (1, C, H, H * H), lambda s, *_: (s, 0, 0, 0), memory_space=pltpu.VMEM
+                (1, C, H, H * H),
+                lambda s, cnt, o0, o1, o2, ti: (ti[s], 0, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((F, K), lambda s, *_: (0, s), memory_space=pltpu.VMEM),
         ],
@@ -250,4 +262,12 @@ def gather_points_pallas(plan, tiles, pos, *, C):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((S, C, K), jnp.float32),
         interpret=_interpret(),
-    )(plan.row_count, plan.origin[:, 0], plan.origin[:, 1], plan.origin[:, 2], tiles, data)
+    )(
+        plan.row_count,
+        plan.origin[:, 0],
+        plan.origin[:, 1],
+        plan.origin[:, 2],
+        tile_index.astype(jnp.int32),
+        tiles,
+        data,
+    )

@@ -20,7 +20,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .fft import fftn_planar
+from .fft import (
+    PRUNED_MAX,
+    fftn_planar,
+    spectral_adjoint_pruned_dft,
+    spectral_forward_pruned_dft,
+)
 from .spectral import (
     apply_phi_hat_inv,
     centered_crop,
@@ -28,6 +33,7 @@ from .spectral import (
     fastsum_band_filter,
 )
 from .spread_gather import gather, spread
+from .tilefold import grid_dft_to_flat, grid_flat_to_dft, use_fold
 
 __all__ = [
     "nfft_adjoint_planar",
@@ -36,6 +42,35 @@ __all__ = [
 ]
 
 DEFAULT_SIGMA = 2.0
+
+
+def _plan_dft_capable(plan, C: int, batch_size: int) -> bool:
+    return plan is not None and use_fold(plan, C, 4, batch_size)
+
+
+def _spread_dft(x, pos, batch, plan, batch_size, N, m, sigma, strategy, dim):
+    """Spread onto the DFT-layout grid (B, M_1, ..., C, M_0): directly via
+    the fold engine when a fold-capable plan exists (zero grid transposes),
+    else flat spread + the always-layout-safe flat->dft permute."""
+    M = int(round(sigma * N))
+    if _plan_dft_capable(plan, x.shape[1], batch_size):
+        from .binned import spread_binned_dft
+
+        return spread_binned_dft(plan, x, pos, batch_size=batch_size)
+    g = spread(x, pos, batch, batch_size, N, m, sigma, strategy, plan=plan)
+    return grid_flat_to_dft(g, dim, M, batch_size)
+
+
+def _gather_dft(g_dft, pos, batch, plan, batch_size, N, m, sigma, strategy):
+    """Gather from the DFT-layout grid; mirror of :func:`_spread_dft`."""
+    dim = pos.shape[1]
+    M = g_dft.shape[-1]
+    if _plan_dft_capable(plan, g_dft.shape[-2], batch_size):
+        from .binned import gather_binned_dft
+
+        return gather_binned_dft(plan, g_dft, pos)
+    g_flat = grid_dft_to_flat(g_dft, dim, M, batch_size)
+    return gather(g_flat, pos, batch, batch_size, N, m, sigma, strategy, plan=plan)
 
 
 @partial(
@@ -61,6 +96,17 @@ def nfft_adjoint_planar(
     n, dim = pos.shape
     M = int(round(sigma * N))
     C = x.shape[1]
+
+    if M <= PRUNED_MAX:
+        # DFT-layout flow: fold-spread straight into (B, M1, .., C, M0),
+        # then the pruned band-limited DFT (FFT + crop + rolloff fused into
+        # dim MXU matmuls) — no grid-sized transposes anywhere.
+        with jax.named_scope("nfft_spread"):
+            g_dft = _spread_dft(
+                x, pos, batch, plan, batch_size, N, m, sigma, strategy, dim
+            )
+        with jax.named_scope("nfft_fft_rolloff"):
+            return spectral_adjoint_pruned_dft(g_dft, None, dim, N, m, sigma)
 
     with jax.named_scope("nfft_spread"):
         g = spread(x, pos, batch, batch_size, N, m, sigma, strategy, plan=plan)
@@ -100,6 +146,17 @@ def nfft_forward_planar(
     N = xr.shape[1]
     M = int(round(sigma * N))
     C = xr.shape[-1]
+
+    if M <= PRUNED_MAX:
+        with jax.named_scope("nfft_rolloff_fft"):
+            gr_dft, gi_dft = spectral_forward_pruned_dft(xr, xi, dim, M, m, sigma)
+        with jax.named_scope("nfft_gather"):
+            # Planes ride the column axis (axis -2 in the DFT layout).
+            g2_dft = jnp.concatenate([gr_dft, gi_dft], axis=-2)
+            y = _gather_dft(
+                g2_dft, pos, batch, plan, batch_size, N, m, sigma, strategy
+            )
+        return y[:, :C], y[:, C:]
 
     with jax.named_scope("nfft_rolloff"):
         wr = centered_embed(
@@ -154,6 +211,32 @@ def nfft_fastsum_real(
     M = int(round(sigma * N))
     C = x.shape[1]
     axes = tuple(range(1, dim + 1))
+
+    if M <= PRUNED_MAX:
+        # Band-limited round trip in the DFT grid layout: the fastsum filter
+        # zeroes everything outside the N-band anyway
+        # (spectral_window_operations.cu:313-324), so both DFTs run pruned and
+        # the coeff multiply happens on the N^dim band (phi_hat_inv^2 arrives
+        # via one factor in each pruned matrix).
+        with jax.named_scope("fastsum_spread"):
+            g_dft = _spread_dft(
+                x, sources, source_batch, source_plan,
+                batch_size, N, m, sigma, strategy, dim,
+            )
+        with jax.named_scope("fastsum_fft_adjoint"):
+            sr, si = spectral_adjoint_pruned_dft(g_dft, None, dim, N, m, sigma)
+        with jax.named_scope("fastsum_kernel_convolution"):
+            cf = coeffs[None, ..., None]
+            sr = sr * cf
+            si = si * cf
+        with jax.named_scope("fastsum_fft_forward"):
+            gr_dft, gi_dft = spectral_forward_pruned_dft(sr, si, dim, M, m, sigma)
+        with jax.named_scope("fastsum_gather"):
+            # Only the real plane matters for the (real) output.
+            return _gather_dft(
+                gr_dft, targets, target_batch, target_plan,
+                batch_size, N, m, sigma, strategy,
+            )
 
     with jax.named_scope("fastsum_spread"):
         g = spread(x, sources, source_batch, batch_size, N, m, sigma, strategy, plan=source_plan)
