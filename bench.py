@@ -5,7 +5,12 @@ NFFT pair, 3D, N=256, m=4, with a relative-L2 accuracy gate vs the dense NDFT
 oracle on a small configuration first. Runs the pure-real (planar matmul-FFT)
 pipeline so it executes on TPU runtimes without complex/FFT support.
 
-The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is null.
+The reference publishes no numbers, so ``vs_baseline`` compares against the
+modelled throughput of the reference CUDA code on an H100 SXM (see
+BASELINE.md "H100 baseline model"): 30 M points/s for the headline pair,
+dominated by its 2*(2m+2)^3 = 2000 unsorted global float atomicAdds per
+point (spatial_window_operations.cu:103-211).
+
 Environment overrides: BENCH_N_POINTS, BENCH_BANDWIDTH, BENCH_DIM,
 BENCH_CUTOFF, BENCH_STRATEGY.
 """
@@ -124,11 +129,16 @@ def main():
         _log(f"iter {i}: {times[-1]:.3f}s")
     t = float(np.median(times))
 
+    # Modelled H100 throughput of the reference for THIS config (BASELINE.md):
+    # only the headline 3D config carries a defensible model.
+    h100_model = 30e6 if (dim, N, m) == (3, 256, 4) else None
     result = {
         "metric": f"nonuniform points/sec, {dim}D N={N} m={m} adjoint+forward (planar)",
         "value": round(n / t, 1),
         "unit": "points/sec",
-        "vs_baseline": None,
+        "vs_baseline": (
+            None if h100_model is None else round(n / t / h100_model, 3)
+        ),
         "extra": {
             "n_points": n,
             "seconds_per_pair": round(t, 4),

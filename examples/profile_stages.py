@@ -53,33 +53,83 @@ def main():
     pos = jnp.asarray(pos_np)
     x = jnp.asarray(rng.standard_normal((n, 1)).astype(np.float32))
 
+    from torch_nfft_tpu.ops.tilefold import compact_cells
+
     t0 = time.perf_counter()
     plan = build_plan(pos_np, None, N=N, m=m, batch_size=1)
-    print(f"plan: {time.perf_counter()-t0:.2f}s rows={plan.slot_pt.shape[0]} K={plan.K}", flush=True)
+    cells = compact_cells(plan)
+    ca = cells is not None
+    print(f"plan: {time.perf_counter()-t0:.2f}s rows={plan.slot_pt.shape[0]} "
+          f"K={plan.K} active={plan.active}", flush=True)
 
-    spread_j = jax.jit(lambda x, p: spread_binned_dft(plan, x, p, batch_size=1))
+    spread_j = jax.jit(lambda x, p: spread_binned_dft(plan, x, p, batch_size=1, compact=ca))
     t_spread = timeit(spread_j, x, pos)
     g = spread_j(x, pos)
     print(f"spread_dft:  {t_spread*1e3:8.1f} ms  out={g.shape}", flush=True)
 
-    adj_j = jax.jit(lambda g: spectral_adjoint_pruned_dft(g, None, dim, N, m, 2.0)[0])
+    adj_j = jax.jit(lambda g: spectral_adjoint_pruned_dft(g, None, dim, N, m, 2.0, M=M, cells=cells)[0])
     t_adj = timeit(adj_j, g)
     y = adj_j(g)
     yr = y
     yi = jnp.zeros_like(y)
     print(f"adj_dft:     {t_adj*1e3:8.1f} ms  out={y.shape}", flush=True)
 
-    fwd_j = jax.jit(lambda a, b: spectral_forward_pruned_dft(a, b, dim, M, m, 2.0)[0])
+    fwd_j = jax.jit(lambda a, b: spectral_forward_pruned_dft(a, b, dim, M, m, 2.0, cells=cells)[0])
     t_fwd = timeit(fwd_j, yr, yi)
     g2 = fwd_j(yr, yi)
     print(f"fwd_dft:     {t_fwd*1e3:8.1f} ms  out={g2.shape}", flush=True)
 
-    gath_j = jax.jit(lambda g, p: gather_binned_dft(plan, g, p))
+    gath_j = jax.jit(lambda g, p: gather_binned_dft(plan, g, p, compact=ca))
     t_gath = timeit(gath_j, g2, pos)
     print(f"gather_dft:  {t_gath*1e3:8.1f} ms", flush=True)
 
     total = t_spread + t_adj + t_fwd + t_gath
     print(f"sum (spread + adj + fwd + gather ~ pair): {total*1e3:.1f} ms", flush=True)
+
+    if os.environ.get("PROFILE_SPREAD_STAGES"):
+        from torch_nfft_tpu.ops import binned as _b
+        from torch_nfft_tpu.ops.pallas.contract import (
+            spread_tiles_pallas,
+            gather_points_pallas,
+        )
+        from torch_nfft_tpu.ops.tilefold import (
+            fold_tiles_to_grid_dft,
+            unfold_grid_to_tiles_dft,
+            row_tile_ids,
+        )
+
+        tiles_j = jax.jit(lambda x, p: spread_tiles_pallas(plan, x, p, C=1))
+        print(f"  tiles_pallas: {timeit(tiles_j, x, pos)*1e3:8.1f} ms", flush=True)
+        tiles = tiles_j(x, pos)
+        S = tiles.shape[0]
+        F = plan.H**3
+
+        from torch_nfft_tpu.ops.tilefold import active_axes
+        import math as _math
+
+        NT = _math.prod(a for _, a in active_axes(plan, ca))
+
+        def scat(t):
+            return (
+                jnp.zeros((NT, F), jnp.float32)
+                .at[row_tile_ids(plan, ca)]
+                .add(t.reshape(S, F), mode="drop", indices_are_sorted=True)
+            )
+
+        scat_j = jax.jit(scat)
+        print(f"  tile_scatter: {timeit(scat_j, tiles)*1e3:8.1f} ms", flush=True)
+        acc = scat_j(tiles)
+        fold_j = jax.jit(lambda a: fold_tiles_to_grid_dft(a, plan, 1, 1, ca))
+        print(f"  fold_dft:     {timeit(fold_j, acc)*1e3:8.1f} ms", flush=True)
+        unf_j = jax.jit(lambda g: unfold_grid_to_tiles_dft(g, plan, 1, ca))
+        print(f"  unfold_dft:   {timeit(unf_j, g2)*1e3:8.1f} ms", flush=True)
+        td = unf_j(g2)
+        gp_j = jax.jit(
+            lambda t, p: gather_points_pallas(
+                plan, t, p, C=1, tile_index=row_tile_ids(plan, ca)
+            )
+        )
+        print(f"  gather_pts:   {timeit(gp_j, td, pos)*1e3:8.1f} ms", flush=True)
 
     if os.environ.get("PROFILE_XLA_PATH"):
         from torch_nfft_tpu.ops import binned as _b

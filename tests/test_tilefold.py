@@ -97,3 +97,80 @@ def test_pruned_forward_matches_explicit(rng, dim, N, sigma, C):
     er, ei = fftn_planar(wr, wi, axes=tuple(range(1, dim + 1)), sign=-1)
     np.testing.assert_allclose(np.asarray(yr), np.asarray(er), rtol=2e-4, atol=2e-3)
     np.testing.assert_allclose(np.asarray(yi), np.asarray(ei), rtol=2e-4, atol=2e-3)
+
+
+def test_active_runs_cyclic():
+    from torch_nfft_tpu.ops.binned import _active_runs
+
+    # occupied tiles {7, 0, 1} of 8 -> run starts at 7, covers {7,0,1,2}
+    origin = np.array([[56], [0], [8]], np.int32)
+    runs = _active_runs(origin, 8, 64, 1)
+    assert runs == ((7, 4),)
+    # full covering -> None
+    origin = (np.arange(8) * 8).reshape(-1, 1).astype(np.int32)
+    assert _active_runs(origin, 8, 64, 1) is None
+
+
+@pytest.mark.parametrize("span", [0.5, 1.0])
+def test_compact_dft_pipeline_matches_scatter(rng, span):
+    """3D planar adjoint/forward with a fold-capable plan (active slab when
+    points live in a sub-box) must match the plan-free scatter pipeline."""
+    import jax
+
+    from torch_nfft_tpu.ops.planar import nfft_adjoint_planar, nfft_forward_planar
+
+    n, dim, N, m, B = 500, 3, 64, 4, 1
+    pos = ((rng.random((n, dim)) - 0.5) * span).astype(np.float32)
+    batch = np.zeros((n,), np.int32)
+    x = jnp.asarray(rng.standard_normal((n, 2)).astype(np.float32))
+    plan = build_plan(pos, batch, N=N, m=m, batch_size=B)
+    if span < 1.0:
+        assert plan.active is not None, "sub-box points must yield a slab"
+    posj, batchj = jnp.asarray(pos), jnp.asarray(batch)
+
+    yr, yi = nfft_adjoint_planar(x, posj, batchj, plan, batch_size=B, N=N, m=m)
+    er, ei = nfft_adjoint_planar(
+        x, posj, batchj, None, batch_size=B, N=N, m=m, strategy="scatter"
+    )
+    np.testing.assert_allclose(np.asarray(yr), np.asarray(er), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(yi), np.asarray(ei), rtol=2e-4, atol=2e-4)
+
+    fr, fi = nfft_forward_planar(
+        yr, yi, posj, batchj, plan, batch_size=B, dim=dim, m=m
+    )
+    gr_, gi_ = nfft_forward_planar(
+        yr, yi, posj, batchj, None, batch_size=B, dim=dim, m=m,
+        strategy="scatter",
+    )
+    # forward outputs span ~1e3; compare in rel-L2 (single tiny elements can
+    # exceed a fixed atol by precision noise alone)
+    for got, ref in ((fr, gr_), (fi, gi_)):
+        got, ref = np.asarray(got), np.asarray(ref)
+        rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+        assert rel < 1e-5, rel
+
+
+def test_compact_fastsum_matches(rng):
+    from torch_nfft_tpu.ops.coeffs import gaussian_analytic_coeffs
+    from torch_nfft_tpu.ops.planar import nfft_fastsum_real
+
+    n, dim, N, m = 400, 3, 64, 4
+    src = ((rng.random((n, dim)) - 0.5) * 0.5).astype(np.float32)
+    tgt = ((rng.random((300, dim)) - 0.5) * 0.4).astype(np.float32)
+    x = jnp.asarray(rng.standard_normal((n, 1)).astype(np.float32))
+    coeffs = gaussian_analytic_coeffs(0.4, dim, N)
+    b_s = jnp.zeros((n,), jnp.int32)
+    b_t = jnp.zeros((300,), jnp.int32)
+    sp = build_plan(src, None, N=N, m=m, batch_size=1)
+    tp = build_plan(tgt, None, N=N, m=m, batch_size=1)
+    assert sp.active is not None and tp.active is not None
+
+    y = nfft_fastsum_real(
+        x, coeffs, jnp.asarray(src), jnp.asarray(tgt), b_s, b_t, sp, tp,
+        batch_size=1, N=N, m=m,
+    )
+    e = nfft_fastsum_real(
+        x, coeffs, jnp.asarray(src), jnp.asarray(tgt), b_s, b_t, None, None,
+        batch_size=1, N=N, m=m, strategy="scatter",
+    )
+    np.testing.assert_allclose(np.asarray(y), np.asarray(e), rtol=2e-4, atol=2e-4)

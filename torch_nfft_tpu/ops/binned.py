@@ -40,6 +40,7 @@ import jax
 import jax.numpy as jnp
 
 from .tilefold import (
+    active_axes,
     fold_tiles_to_grid,
     fold_tiles_to_grid_dft,
     row_tile_ids,
@@ -99,6 +100,13 @@ class BinnedPlan:
     # bin-id fingerprint from position_fingerprint()
     batch_size: int | None = None
     pos_fp: int | None = None
+    # per-axis active tile run ((start_tile, num_tiles) per dim) covering all
+    # occupied tiles plus their +1 halo neighbours; None = full axis. The
+    # reference's GaussianKernel maps every point set into the [-1/4, 1/4]
+    # safe box (kernel.py:76), so typically only ~(1/2)^dim of the oversampled
+    # grid is ever touched — the DFT-layout fold pipeline runs on this
+    # compact cyclic slab and the pruned DFT matrices absorb the offset.
+    active: tuple | None = None
     # host-side sorted layout (NumPy; not shipped to the device; dropped by
     # pytree round-trips): point ids in (batch, tile) order and each row's
     # contiguous run of `order`
@@ -130,7 +138,7 @@ class BinnedPlan:
         )
         aux = (
             self.n, self.dim, self.N, self.m, self.sigma, self.T, self.K,
-            self.batch_size, self.pos_fp,
+            self.batch_size, self.pos_fp, self.active,
         )
         return children, aux
 
@@ -146,6 +154,37 @@ def position_fingerprint(pos, M: int, m: int) -> int:
     pos = np.asarray(pos, dtype=np.float32)
     s_mod = (np.floor(pos * M).astype(np.int64) - m) % M
     return int(s_mod.sum())
+
+
+def _active_runs(origin_np, T: int, M: int, dim: int) -> tuple | None:
+    """Per-axis minimal cyclic tile run covering every occupied tile and its
+    +1 neighbour (the halo spill target). Returns ((start, count), ...) or
+    None when every axis is (nearly) full.
+
+    The run's last tile is always a pure halo tile (an occupied tile's +1
+    that is itself unoccupied), so the fold's circular roll inside the
+    compact slab only ever wraps zeros — compaction is exact.
+    """
+    nb = M // T
+    runs = []
+    any_partial = False
+    for d in range(dim):
+        occ = np.unique(np.asarray(origin_np)[:, d] // T)
+        if occ.size == 0:
+            return None
+        cover = np.unique(np.concatenate([occ, (occ + 1) % nb]))
+        if cover.size >= nb:
+            runs.append((0, nb))
+            continue
+        # largest cyclic gap between covered tiles; the run starts after it
+        s = np.sort(cover)
+        gaps = np.diff(np.concatenate([s, s[:1] + nb]))
+        i = int(np.argmax(gaps))
+        start = int(s[(i + 1) % s.size])
+        count = nb - int(gaps[i]) + 1
+        runs.append((start, count))
+        any_partial = True
+    return tuple(runs) if any_partial else None
 
 
 def default_tile(dim: int, m: int, M: int) -> int:
@@ -237,6 +276,7 @@ def build_plan(
             K=int(K_used),
             batch_size=int(batch_size),
             pos_fp=position_fingerprint(pos, M, m),
+            active=_active_runs(origin, T, M, dim) if M % T == 0 else None,
         )
 
     # window start cell, wrapped; tile index and tile id per point
@@ -308,6 +348,7 @@ def build_plan(
         K=int(K),
         batch_size=int(batch_size),
         pos_fp=position_fingerprint(pos, M, m),
+        active=_active_runs(origin, T, M, dim) if M % T == 0 else None,
     )
 
 
@@ -439,13 +480,14 @@ def _spread_xla_fold(plan: BinnedPlan, x, pos, batch_size: int):
     return fold_tiles_to_grid(acc, plan, batch_size, x.shape[1])
 
 
-def _dense_tiles_xla(plan: BinnedPlan, x, pos, batch_size: int):
+def _dense_tiles_xla(plan: BinnedPlan, x, pos, batch_size: int, compact=False):
     """Chunked einsum tiles accumulated into the dense tile array (NT, F)
-    with one scalar index per row — negligible layout padding."""
+    with one scalar index per row — negligible layout padding. ``compact``
+    restricts the array to the plan's active slab (tilefold.active_axes)."""
     dim, H, K, M, T = plan.dim, plan.H, plan.K, plan.M, plan.T
     nb = M // T
     C = x.shape[1]
-    NT = batch_size * nb**dim
+    NT = batch_size * math.prod(a for _, a in active_axes(plan, compact))
     F = C * H**dim
     S = plan.slot_pt.shape[0]
     R = _pick_row_chunk(S, K, H, dim, C, jnp.dtype(x.dtype).itemsize)
@@ -456,7 +498,7 @@ def _dense_tiles_xla(plan: BinnedPlan, x, pos, batch_size: int):
     row_count = jnp.pad(plan.row_count, (0, S_pad - S))
     origin = jnp.pad(plan.origin, ((0, S_pad - S), (0, 0)))
     # pad rows scatter out of range and are dropped
-    tid = jnp.pad(row_tile_ids(plan), (0, S_pad - S), constant_values=NT)
+    tid = jnp.pad(row_tile_ids(plan, compact), (0, S_pad - S), constant_values=NT)
     k_iota = jnp.arange(K, dtype=jnp.int32)[None, :]
 
     acc = jnp.zeros((NT, F), dtype=x.dtype)
@@ -545,7 +587,7 @@ def _tile_chunk_rows(S: int, H: int, dim: int, C: int) -> int:
     return int(max(1, min(S, (3 << 31) // max(1, padded_tile))))
 
 
-def _dense_tiles_pallas(plan: BinnedPlan, x, pos, batch_size: int):
+def _dense_tiles_pallas(plan: BinnedPlan, x, pos, batch_size: int, compact=False):
     """Fused Pallas per-row tiles accumulated into the dense (NT, F) array."""
     from .pallas.contract import spread_tiles_pallas
 
@@ -553,10 +595,9 @@ def _dense_tiles_pallas(plan: BinnedPlan, x, pos, batch_size: int):
     tiles = spread_tiles_pallas(plan, x.astype(jnp.float32), pos, C=C)
     tiles = tiles.astype(x.dtype)  # (S, C, H, H^{dim-1})
     S = tiles.shape[0]
-    nb = M // plan.T
-    NT = batch_size * nb**dim
+    NT = batch_size * math.prod(a for _, a in active_axes(plan, compact))
     F = C * H**dim
-    return jnp.zeros((NT, F), dtype=x.dtype).at[row_tile_ids(plan)].add(
+    return jnp.zeros((NT, F), dtype=x.dtype).at[row_tile_ids(plan, compact)].add(
         tiles.reshape(S, F), mode="drop", indices_are_sorted=True
     )
 
@@ -666,7 +707,7 @@ def _gather_xla_fold(plan: BinnedPlan, g_flat, pos, batch_size: int):
     return _points_from_tiles_xla(plan, tiles_dense, pos)
 
 
-def _points_from_tiles_xla(plan: BinnedPlan, tiles_dense, pos):
+def _points_from_tiles_xla(plan: BinnedPlan, tiles_dense, pos, compact=False):
     """Dense tile4 array (NT, C, H, H^{dim-1}) -> per-point values (n, C)."""
     dim, H, K = plan.dim, plan.H, plan.K
     C = tiles_dense.shape[1]
@@ -678,7 +719,7 @@ def _points_from_tiles_xla(plan: BinnedPlan, tiles_dense, pos):
     slot_pt = jnp.pad(plan.slot_pt, ((0, S_pad - S), (0, 0)))
     row_count = jnp.pad(plan.row_count, (0, S_pad - S))
     origin = jnp.pad(plan.origin, ((0, S_pad - S), (0, 0)))
-    tid = jnp.pad(row_tile_ids(plan), (0, S_pad - S))  # pad rows read tile 0, masked
+    tid = jnp.pad(row_tile_ids(plan, compact), (0, S_pad - S))  # pad rows read tile 0, masked
     k_iota = jnp.arange(K, dtype=jnp.int32)[None, :]
 
     out = jnp.zeros((S_pad * K, C), dtype=tiles_dense.dtype)
@@ -848,27 +889,31 @@ def gather_binned(plan: BinnedPlan, g_flat, pos):
 # ---------------------------------------------------------------------------
 
 
-def _spread_dft_xla(plan: BinnedPlan, x, pos, batch_size: int):
-    acc = _dense_tiles_xla(plan, x, pos, batch_size)
-    return fold_tiles_to_grid_dft(acc, plan, batch_size, x.shape[1])
+def _spread_dft_xla(plan: BinnedPlan, x, pos, batch_size: int, compact=False):
+    acc = _dense_tiles_xla(plan, x, pos, batch_size, compact)
+    return fold_tiles_to_grid_dft(acc, plan, batch_size, x.shape[1], compact)
 
 
-def _spread_dft_pallas(plan: BinnedPlan, x, pos, batch_size: int):
-    acc = _dense_tiles_pallas(plan, x, pos, batch_size)
-    return fold_tiles_to_grid_dft(acc, plan, batch_size, x.shape[1])
+def _spread_dft_pallas(plan: BinnedPlan, x, pos, batch_size: int, compact=False):
+    acc = _dense_tiles_pallas(plan, x, pos, batch_size, compact)
+    return fold_tiles_to_grid_dft(acc, plan, batch_size, x.shape[1], compact)
 
 
-@partial(jax.jit, static_argnames=("batch_size",))
-def spread_binned_dft(plan: BinnedPlan, x, pos, *, batch_size: int):
+@partial(jax.jit, static_argnames=("batch_size", "compact"))
+def spread_binned_dft(plan: BinnedPlan, x, pos, *, batch_size: int,
+                      compact: bool = False):
     """spread_binned in the DFT grid layout. Requires a fold-capable plan
-    (use_fold(...) must hold — checked by the planar pipeline dispatch)."""
+    (use_fold(...) must hold — checked by the planar pipeline dispatch).
+    ``compact=True`` produces the grid only on the plan's active slab; the
+    consumer must build its pruned DFT matrices with the matching
+    tilefold.compact_cells(plan) spec."""
     pos = pos.astype(jnp.float32)
     if not _use_pallas(plan, x.shape[1], x.dtype):
-        return _spread_dft_xla(plan, x, pos, batch_size)
+        return _spread_dft_xla(plan, x, pos, batch_size, compact)
 
     @jax.custom_vjp
     def f(x, pos):
-        return _spread_dft_pallas(plan, x, pos, batch_size)
+        return _spread_dft_pallas(plan, x, pos, batch_size, compact)
 
     def f_fwd(x, pos):
         return f(x, pos), (x, pos)
@@ -876,7 +921,8 @@ def spread_binned_dft(plan: BinnedPlan, x, pos, *, batch_size: int):
     def f_bwd(res, g):
         xr, posr = res
         _, vjp = jax.vjp(
-            lambda a, b: _spread_dft_xla(plan, a, b, batch_size), xr, posr
+            lambda a, b: _spread_dft_xla(plan, a, b, batch_size, compact),
+            xr, posr,
         )
         return vjp(g)
 
@@ -884,44 +930,46 @@ def spread_binned_dft(plan: BinnedPlan, x, pos, *, batch_size: int):
     return f(x, pos)
 
 
-def _gather_dft_xla(plan: BinnedPlan, g_dft, pos):
+def _gather_dft_xla(plan: BinnedPlan, g_dft, pos, compact=False):
     batch_size = g_dft.shape[0]
-    tiles_dense = unfold_grid_to_tiles_dft(g_dft, plan, batch_size)
-    return _points_from_tiles_xla(plan, tiles_dense, pos)
+    tiles_dense = unfold_grid_to_tiles_dft(g_dft, plan, batch_size, compact)
+    return _points_from_tiles_xla(plan, tiles_dense, pos, compact)
 
 
-def _gather_dft_pallas(plan: BinnedPlan, g_dft, pos):
+def _gather_dft_pallas(plan: BinnedPlan, g_dft, pos, compact=False):
     from .pallas.contract import gather_points_pallas
 
     batch_size = g_dft.shape[0]
     C = g_dft.shape[-2]
     S, K = plan.slot_pt.shape
-    tiles_dense = unfold_grid_to_tiles_dft(g_dft, plan, batch_size)
+    tiles_dense = unfold_grid_to_tiles_dft(g_dft, plan, batch_size, compact)
     y = gather_points_pallas(
         plan, tiles_dense.astype(jnp.float32), pos, C=C,
-        tile_index=row_tile_ids(plan),
+        tile_index=row_tile_ids(plan, compact),
     )  # (S, C, K)
     out = jnp.swapaxes(y, 1, 2).reshape(S * K, C).astype(g_dft.dtype)
     return jnp.take(out, plan.inv_slot, axis=0)
 
 
-@jax.jit
-def gather_binned_dft(plan: BinnedPlan, g_dft, pos):
-    """gather_binned from a DFT-layout grid (B, M_1, ..., C, M_0)."""
+@partial(jax.jit, static_argnames=("compact",))
+def gather_binned_dft(plan: BinnedPlan, g_dft, pos, *, compact: bool = False):
+    """gather_binned from a DFT-layout grid (B, L_1, ..., C, L_0)."""
     pos = pos.astype(jnp.float32)
     if not _use_pallas(plan, g_dft.shape[-2], g_dft.dtype):
-        return _gather_dft_xla(plan, g_dft, pos)
+        return _gather_dft_xla(plan, g_dft, pos, compact)
 
     @jax.custom_vjp
     def f(g_dft, pos):
-        return _gather_dft_pallas(plan, g_dft, pos)
+        return _gather_dft_pallas(plan, g_dft, pos, compact)
 
     def f_fwd(g_dft, pos):
         return f(g_dft, pos), (g_dft, pos)
 
     def f_bwd(res, g):
         gr, posr = res
-        _, vjp = jax.vjp(lambda a, b: _gather_dft_xla(plan, a, b), gr, posr)
+        _, vjp = jax.vjp(
+            lambda a, b: _gather_dft_xla(plan, a, b, compact), gr, posr
+        )
         return vjp(g)
 
     f.defvjp(f_fwd, f_bwd)

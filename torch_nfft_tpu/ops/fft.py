@@ -182,21 +182,26 @@ PRUNED_MAX = 2048
 
 
 @lru_cache(maxsize=None)
-def _pruned_mats_np(N: int, M: int, m: int, sigma: float, sign: int):
-    """(cos, sin) of the pruned planar DFT matrix, shape (M, N), float32.
+def _pruned_mats_np(N: int, M: int, m: int, sigma: float, sign: int,
+                    off: int = 0, L: int | None = None):
+    """(cos, sin) of the pruned planar DFT matrix, shape (L, N), float32.
 
     Column j holds frequency k = j - N/2 (the centered layout, frequency k
     stored at index k + N/2, reference nfft.py:119-121 / kernel_coeffs.cu:56);
-    row a is the oversampled grid index. Entries are
+    row a covers grid cells off + [0, L) of the M-cell axis (off/L restrict
+    to a plan's active slab; default: the full axis). Entries are
 
-        D[a, j] = e^{sign * 2*pi*i * a * k / M} * phi_hat_inv(k)
+        D[a, j] = e^{sign * 2*pi*i * (off + a) * k / M} * phi_hat_inv(k)
 
     which equals (unnormalized M-point DFT) x (fftshift crop to the centered
     band) x (rolloff correction) in one matrix: the DFT reads frequency
-    k mod M, and e^{2*pi*i*a*(k mod M)/M} == e^{2*pi*i*a*k/M} exactly.
+    k mod M, and e^{2*pi*i*a*(k mod M)/M} == e^{2*pi*i*a*k/M} exactly; cells
+    outside the slab hold zeros by construction, so dropping their rows is
+    exact too.
     """
+    L = M if L is None else L
     k = np.arange(N, dtype=np.float64) - N // 2
-    a = np.arange(M, dtype=np.float64)
+    a = np.arange(L, dtype=np.float64) + off
     theta = 2.0 * np.pi * np.outer(a, k) / M
     # phi_hat_inv(k) = exp(k^2 * b * (pi/M)^2), ops/window.py:phi_hat_inv_param
     b = 2.0 * sigma * m / ((2.0 * sigma - 1.0) * np.pi)
@@ -267,39 +272,64 @@ def spectral_forward_pruned(xr, xi, dim: int, M: int, m: int, sigma: float,
     return xr, xi
 
 
-def spectral_adjoint_pruned_dft(gr, gi, dim: int, N: int, m: int, sigma: float):
-    """DFT-layout grid (B, M_1, ..., M_{dim-1}, C, M_0) -> standard centered
+def _cells_spec(dim: int, M: int, cells):
+    """Normalize the per-axis (cell_offset, cell_count) spec; None = full."""
+    if cells is None:
+        return tuple((0, M) for _ in range(dim))
+    return tuple(cells)
+
+
+def spectral_adjoint_pruned_dft(gr, gi, dim: int, N: int, m: int, sigma: float,
+                                M: int | None = None, cells=None):
+    """DFT-layout grid (B, L_1, ..., L_{dim-1}, C, L_0) -> standard centered
     spectrum (B, (N,)*dim, C).
 
     Same math as :func:`spectral_adjoint_pruned`, but consumes the grid
     layout the 3D tile fold produces natively (ops/tilefold.py): grid axis 0
-    sits minor and is contracted first as a plain (pre, M) @ (M, N) matmul;
-    the output re-permutes on the small N^dim array.
+    sits minor and is contracted first as a plain (pre, L) @ (L, N) matmul;
+    the output re-permutes on the small N^dim array. ``cells`` restricts each
+    axis to a plan's active slab (tilefold.compact_cells) — the matrices then
+    carry the slab offset, so compaction is exact.
     """
-    M = gr.shape[-1]
-    cr, ci = _pruned_mats_np(N, M, m, float(sigma), +1)
-    mr = jnp.asarray(cr)
-    mi = jnp.asarray(ci)
-    gr, gi = _axis_contract_planar(gr, gi, mr, mi, gr.ndim - 1)  # M0 -> N0
+    M = gr.shape[-1] if M is None else M
+    spec = _cells_spec(dim, M, cells)
+
+    def mats(d):
+        off, L = spec[d]
+        cr, ci = _pruned_mats_np(N, M, m, float(sigma), +1, off, L)
+        return jnp.asarray(cr), jnp.asarray(ci)
+
+    gr, gi = _axis_contract_planar(gr, gi, *mats(0), gr.ndim - 1)  # L0 -> N0
     for d in range(1, dim):
-        gr, gi = _axis_contract_planar(gr, gi, mr, mi, d)
+        gr, gi = _axis_contract_planar(gr, gi, *mats(d), d)
     perm = [0, gr.ndim - 1] + list(range(1, gr.ndim - 1))
     return gr.transpose(perm), gi.transpose(perm)
 
 
-def spectral_forward_pruned_dft(xr, xi, dim: int, M: int, m: int, sigma: float):
+def spectral_forward_pruned_dft(xr, xi, dim: int, M: int, m: int, sigma: float,
+                                cells=None):
     """Standard centered spectrum (B, (N,)*dim, C) -> DFT-layout grid
-    (B, M_1, ..., M_{dim-1}, C, M_0). Mirror of
+    (B, L_1, ..., L_{dim-1}, C, L_0). Mirror of
     :func:`spectral_adjoint_pruned_dft`; the input permutation happens on the
-    small N^dim array, the contractions grow it axis by axis."""
+    small N^dim array, the contractions grow it axis by axis. With ``cells``
+    the output covers only each axis's active slab — exact as long as the
+    consumer (the gather) only reads slab cells, which the plan guarantees.
+    """
     N = xr.shape[1]
-    cr, ci = _pruned_mats_np(N, M, m, float(sigma), -1)
-    mr = jnp.asarray(np.ascontiguousarray(cr.T))
-    mi = jnp.asarray(np.ascontiguousarray(ci.T))
+    spec = _cells_spec(dim, M, cells)
+
+    def mats(d):
+        off, L = spec[d]
+        cr, ci = _pruned_mats_np(N, M, m, float(sigma), -1, off, L)
+        return (
+            jnp.asarray(np.ascontiguousarray(cr.T)),
+            jnp.asarray(np.ascontiguousarray(ci.T)),
+        )
+
     perm = [0] + list(range(2, dim + 2)) + [1]
     xr = xr.transpose(perm)
     xi = None if xi is None else xi.transpose(perm)
-    xr, xi = _axis_contract_planar(xr, xi, mr, mi, xr.ndim - 1)  # N0 -> M0
+    xr, xi = _axis_contract_planar(xr, xi, *mats(0), xr.ndim - 1)  # N0 -> L0
     for d in range(1, dim):
-        xr, xi = _axis_contract_planar(xr, xi, mr, mi, d)
+        xr, xi = _axis_contract_planar(xr, xi, *mats(d), d)
     return xr, xi

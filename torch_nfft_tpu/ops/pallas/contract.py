@@ -38,7 +38,7 @@ from ..window import window_inv_b, window_inv_sqrt_b_pi
 
 __all__ = ["spread_tiles_pallas", "gather_points_pallas", "pallas_supported"]
 
-_KC = 512  # lane chunk per inner iteration (VMEM bound)
+_KC = 1024  # lane chunk per inner iteration (VMEM bound)
 
 
 def _interpret() -> bool:
@@ -54,20 +54,57 @@ def pallas_supported(plan, C: int) -> bool:
     return plan.K <= _KC or plan.K % _KC == 0
 
 
-def _window_row(p_row, origin_d, M, m, H, inv_b, amp):
-    """A (H, KC): window values of one coordinate row against the tile cells
-    origin_d + [0, H); points on lanes. Same math as binned._row_windows."""
+def _windows_fused(p3, org0, org1, org2, M, m, H, inv_b, amp):
+    """(A0, A1, A2), each (H, KC): window values of all three coordinate rows
+    against their tile cells origin_d + [0, H), evaluated in ONE batch of
+    vector ops. Same math as binned._row_windows.
+
+    Layout: the three dims stack on the sublane axis in groups of
+    G = roundup(H, 8) rows (so the per-dim slices sit at aligned sublane
+    offsets); within a group, row u holds cell origin_d + u. Using the
+    unwrapped identity t = frac + m + o - u, every heavy op runs once on
+    (3G, KC) — the kernel is op-issue-bound, not FLOP-bound, so fewer,
+    bigger vector ops is the whole game.
+    """
+    KC = p3.shape[1]
+    G = -(-H // 8) * 8
     L = 2 * m + 2
-    scaled = p_row * M  # (1, KC)
+    scaled = p3 * M  # (3, KC)
     fl = jnp.floor(scaled)
     frac = scaled - fl
     s_mod = (fl.astype(jnp.int32) - m) % M
-    o = (s_mod - origin_d) % M  # (1, KC)
-    u = jax.lax.broadcasted_iota(jnp.int32, (H, p_row.shape[1]), 0)
-    rel = u - o  # (H, KC)
-    t = frac + (m - rel).astype(frac.dtype)
+    org = jnp.concatenate(
+        [jnp.full((1, KC), org0, jnp.int32),
+         jnp.full((1, KC), org1, jnp.int32),
+         jnp.full((1, KC), org2, jnp.int32)],
+        axis=0,
+    )  # (3, KC)
+    o = (s_mod - org) % M  # (3, KC), in [0, T)
+    o_r = jnp.concatenate(
+        [jnp.broadcast_to(o[d : d + 1], (G, KC)) for d in range(3)], axis=0
+    )
+    frac_r = jnp.concatenate(
+        [jnp.broadcast_to(frac[d : d + 1], (G, KC)) for d in range(3)], axis=0
+    )
+    u = jax.lax.broadcasted_iota(jnp.int32, (3 * G, KC), 0) % G
+    rel = u - o_r  # integer, exact — same expression as binned._row_windows
+    t = frac_r + (m - rel).astype(frac_r.dtype)
     vals = jnp.exp(-(t * t) * inv_b) * amp
-    return jnp.where((rel >= 0) & (rel < L), vals, 0.0)
+    vals = jnp.where((rel >= 0) & (rel < L), vals, 0.0)
+    return vals[0:H], vals[G : G + H], vals[2 * G : 2 * G + H]
+
+
+def _khatri_rao(A, t, H):
+    """(H^2, KC) rows r = v*H + w holding A[v, k] * t[w, k].
+
+    The element-repeat of A rides a broadcast that fuses into the multiply
+    (Mosaic lowers broadcast_to + collapse-reshape without a copy), and the
+    tile-repeat of t is one whole-array pltpu.repeat — the kernels are
+    VPU-pass-bound, so the KR costs ~2 big passes and nothing else.
+    """
+    KC = t.shape[1]
+    A_rep = jnp.broadcast_to(A[:, None, :], (H, H, KC)).reshape(H * H, KC)
+    return A_rep * pltpu.repeat(t, H, axis=0)
 
 
 def _chunks(K):
@@ -84,7 +121,6 @@ def _spread_kernel(
     org2_ref,
     data_ref,  # (F, K) block: rows [0:C]=x columns, [C:C+3]=coords
     tile_ref,  # (1, C, H, H*H) block
-    t2buf,  # VMEM scratch (H*H, KC)
     *,
     K,
     C,
@@ -98,30 +134,30 @@ def _spread_kernel(
     count = row_count_ref[s]
     n_chunks, KC = _chunks(K)
 
-    for c in range(C):
-        acc = jnp.zeros((H, H * H), jnp.float32)
-        for j in range(n_chunks):
-            sl = j * KC
-            kmask = (
-                jax.lax.broadcasted_iota(jnp.int32, (1, KC), 1) + sl < count
-            ).astype(jnp.float32)
-            A0 = _window_row(data_ref[C + 0 : C + 1, pl.ds(sl, KC)], org0_ref[s], M, m, H, inv_b, amp)
-            A1 = _window_row(data_ref[C + 1 : C + 2, pl.ds(sl, KC)], org1_ref[s], M, m, H, inv_b, amp)
-            A2 = _window_row(data_ref[C + 2 : C + 3, pl.ds(sl, KC)], org2_ref[s], M, m, H, inv_b, amp)
+    accs = [jnp.zeros((H, H * H), jnp.float32) for _ in range(C)]
+    for j in range(n_chunks):
+        sl = j * KC
+        kmask = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, KC), 1) + sl < count
+        ).astype(jnp.float32)
+        A0, A1, A2 = _windows_fused(
+            data_ref[C : C + 3, pl.ds(sl, KC)],
+            org0_ref[s], org1_ref[s], org2_ref[s], M, m, H, inv_b, amp,
+        )
+        for c in range(C):
             xw = data_ref[c : c + 1, pl.ds(sl, KC)] * kmask  # (1, KC)
-            t1 = A2 * xw  # (H, KC)
-            # Khatri-Rao in VMEM scratch: t2[v*H + w, k] = A1[v, k] * t1[w, k]
-            for v in range(H):
-                t2buf[v * H : (v + 1) * H, pl.ds(0, KC)] = A1[v : v + 1, :] * t1
+            # t2[v*H + w, k] = A1[v, k] * A2[w, k] * x[k]
+            t2 = _khatri_rao(A1, A2 * xw, H)
             # tile[u, vw] = sum_k A0[u, k] * t2[vw, k]
-            acc = acc + jax.lax.dot_general(
+            accs[c] = accs[c] + jax.lax.dot_general(
                 A0,
-                t2buf[:, pl.ds(0, KC)],
+                t2,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
-        tile_ref[0, c] = acc
+    for c in range(C):
+        tile_ref[0, c] = accs[c]
 
 
 def _gather_kernel(
@@ -147,16 +183,19 @@ def _gather_kernel(
     count = row_count_ref[s]
     n_chunks, KC = _chunks(K)
 
-    for c in range(C):
-        G = tile_in_ref[0, c]  # (H, H*H)
-        for j in range(n_chunks):
-            sl = j * KC
-            kmask = (
-                jax.lax.broadcasted_iota(jnp.int32, (1, KC), 1) + sl < count
-            ).astype(jnp.float32)
-            A0 = _window_row(data_ref[0:1, pl.ds(sl, KC)], org0_ref[s], M, m, H, inv_b, amp)
-            A1 = _window_row(data_ref[1:2, pl.ds(sl, KC)], org1_ref[s], M, m, H, inv_b, amp)
-            A2 = _window_row(data_ref[2:3, pl.ds(sl, KC)], org2_ref[s], M, m, H, inv_b, amp)
+    for j in range(n_chunks):
+        sl = j * KC
+        kmask = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, KC), 1) + sl < count
+        ).astype(jnp.float32)
+        A0, A1, A2 = _windows_fused(
+            data_ref[0:3, pl.ds(sl, KC)],
+            org0_ref[s], org1_ref[s], org2_ref[s], M, m, H, inv_b, amp,
+        )
+        # B[v*H + w, k] = A1[v, k] * A2[w, k]
+        B = _khatri_rao(A1, A2, H)
+        for c in range(C):
+            G = tile_in_ref[0, c]  # (H, H*H)
             # t1[vw, k] = sum_u G[u, vw] A0[u, k]
             t1 = jax.lax.dot_general(
                 G,
@@ -165,12 +204,8 @@ def _gather_kernel(
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )  # (H*H, KC)
-            # t2[w, k] = sum_v A1[v, k] t1[v*H + w, k]
-            t2 = jnp.zeros((H, KC), jnp.float32)
-            for v in range(H):
-                t2 = t2 + A1[v : v + 1, :] * t1[v * H : (v + 1) * H, :]
-            # y[k] = sum_w A2[w, k] t2[w, k]
-            yk = jnp.sum(A2 * t2, axis=0, keepdims=True) * kmask  # (1, KC)
+            # y[k] = sum_{v,w} A1[v,k] A2[w,k] t1[v*H + w, k]
+            yk = jnp.sum(B * t1, axis=0, keepdims=True) * kmask  # (1, KC)
             y_ref[0, c : c + 1, pl.ds(sl, KC)] = yk
 
 
@@ -204,9 +239,6 @@ def spread_tiles_pallas(plan, x, pos, *, C):
         out_specs=pl.BlockSpec(
             (1, C, H, H * H), lambda s, *_: (s, 0, 0, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[
-            pltpu.VMEM((H * H, min(K, _KC)), jnp.float32),
-        ],
     )
     kernel = functools.partial(
         _spread_kernel, K=K, C=C, H=H, M=M, m=m, inv_b=inv_b, amp=amp

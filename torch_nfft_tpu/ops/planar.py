@@ -33,7 +33,7 @@ from .spectral import (
     fastsum_band_filter,
 )
 from .spread_gather import gather, spread
-from .tilefold import grid_dft_to_flat, grid_flat_to_dft, use_fold
+from .tilefold import compact_cells, grid_dft_to_flat, grid_flat_to_dft, use_fold
 
 __all__ = [
     "nfft_adjoint_planar",
@@ -44,31 +44,46 @@ __all__ = [
 DEFAULT_SIGMA = 2.0
 
 
-def _plan_dft_capable(plan, C: int, batch_size: int) -> bool:
-    return plan is not None and use_fold(plan, C, 4, batch_size)
+def _dft_route(plan, C: int, batch_size: int):
+    """(use_plan, cells) for one half of a DFT-layout pipeline: whether the
+    fold engine carries the grid, and — if the plan has an active slab — the
+    per-axis (offset, length) spec the pruned DFT matrices must match. The
+    spread/gather side and the DFT side MUST share this decision: a compact
+    grid is only meaningful to matrices built with the same cells."""
+    if plan is None or not use_fold(plan, C, 4, batch_size):
+        return False, None
+    return True, compact_cells(plan)
 
 
-def _spread_dft(x, pos, batch, plan, batch_size, N, m, sigma, strategy, dim):
-    """Spread onto the DFT-layout grid (B, M_1, ..., C, M_0): directly via
-    the fold engine when a fold-capable plan exists (zero grid transposes),
-    else flat spread + the always-layout-safe flat->dft permute."""
+def _spread_dft(x, pos, batch, plan, batch_size, N, m, sigma, strategy, dim,
+                use_plan):
+    """Spread onto the DFT-layout grid (B, L_1, ..., C, L_0): directly via
+    the fold engine when a fold-capable plan exists (zero grid transposes,
+    compact slab when the plan has one), else flat spread + the
+    always-layout-safe flat->dft permute."""
     M = int(round(sigma * N))
-    if _plan_dft_capable(plan, x.shape[1], batch_size):
+    if use_plan:
         from .binned import spread_binned_dft
 
-        return spread_binned_dft(plan, x, pos, batch_size=batch_size)
+        return spread_binned_dft(
+            plan, x, pos, batch_size=batch_size,
+            compact=compact_cells(plan) is not None,
+        )
     g = spread(x, pos, batch, batch_size, N, m, sigma, strategy, plan=plan)
     return grid_flat_to_dft(g, dim, M, batch_size)
 
 
-def _gather_dft(g_dft, pos, batch, plan, batch_size, N, m, sigma, strategy):
+def _gather_dft(g_dft, pos, batch, plan, batch_size, N, m, sigma, strategy,
+                use_plan):
     """Gather from the DFT-layout grid; mirror of :func:`_spread_dft`."""
     dim = pos.shape[1]
     M = g_dft.shape[-1]
-    if _plan_dft_capable(plan, g_dft.shape[-2], batch_size):
+    if use_plan:
         from .binned import gather_binned_dft
 
-        return gather_binned_dft(plan, g_dft, pos)
+        return gather_binned_dft(
+            plan, g_dft, pos, compact=compact_cells(plan) is not None
+        )
     g_flat = grid_dft_to_flat(g_dft, dim, M, batch_size)
     return gather(g_flat, pos, batch, batch_size, N, m, sigma, strategy, plan=plan)
 
@@ -98,15 +113,20 @@ def nfft_adjoint_planar(
     C = x.shape[1]
 
     if M <= PRUNED_MAX:
-        # DFT-layout flow: fold-spread straight into (B, M1, .., C, M0),
-        # then the pruned band-limited DFT (FFT + crop + rolloff fused into
-        # dim MXU matmuls) — no grid-sized transposes anywhere.
+        # DFT-layout flow: fold-spread straight into (B, L1, .., C, L0)
+        # (the plan's active slab when it has one), then the pruned
+        # band-limited DFT (FFT + crop + rolloff fused into dim MXU
+        # matmuls) — no grid-sized transposes anywhere.
+        use_plan, cells = _dft_route(plan, C, batch_size)
         with jax.named_scope("nfft_spread"):
             g_dft = _spread_dft(
-                x, pos, batch, plan, batch_size, N, m, sigma, strategy, dim
+                x, pos, batch, plan, batch_size, N, m, sigma, strategy, dim,
+                use_plan,
             )
         with jax.named_scope("nfft_fft_rolloff"):
-            return spectral_adjoint_pruned_dft(g_dft, None, dim, N, m, sigma)
+            return spectral_adjoint_pruned_dft(
+                g_dft, None, dim, N, m, sigma, M=M, cells=cells
+            )
 
     with jax.named_scope("nfft_spread"):
         g = spread(x, pos, batch, batch_size, N, m, sigma, strategy, plan=plan)
@@ -148,13 +168,17 @@ def nfft_forward_planar(
     C = xr.shape[-1]
 
     if M <= PRUNED_MAX:
+        use_plan, cells = _dft_route(plan, 2 * C, batch_size)
         with jax.named_scope("nfft_rolloff_fft"):
-            gr_dft, gi_dft = spectral_forward_pruned_dft(xr, xi, dim, M, m, sigma)
+            gr_dft, gi_dft = spectral_forward_pruned_dft(
+                xr, xi, dim, M, m, sigma, cells=cells
+            )
         with jax.named_scope("nfft_gather"):
             # Planes ride the column axis (axis -2 in the DFT layout).
             g2_dft = jnp.concatenate([gr_dft, gi_dft], axis=-2)
             y = _gather_dft(
-                g2_dft, pos, batch, plan, batch_size, N, m, sigma, strategy
+                g2_dft, pos, batch, plan, batch_size, N, m, sigma, strategy,
+                use_plan,
             )
         return y[:, :C], y[:, C:]
 
@@ -218,24 +242,33 @@ def nfft_fastsum_real(
         # (spectral_window_operations.cu:313-324), so both DFTs run pruned and
         # the coeff multiply happens on the N^dim band (phi_hat_inv^2 arrives
         # via one factor in each pruned matrix).
+        # The source and target halves may use different plans (and thus
+        # different active slabs); the N^dim mid-spectrum is slab-independent,
+        # so each half simply carries its own cells spec.
+        use_s, cells_s = _dft_route(source_plan, C, batch_size)
+        use_t, cells_t = _dft_route(target_plan, C, batch_size)
         with jax.named_scope("fastsum_spread"):
             g_dft = _spread_dft(
                 x, sources, source_batch, source_plan,
-                batch_size, N, m, sigma, strategy, dim,
+                batch_size, N, m, sigma, strategy, dim, use_s,
             )
         with jax.named_scope("fastsum_fft_adjoint"):
-            sr, si = spectral_adjoint_pruned_dft(g_dft, None, dim, N, m, sigma)
+            sr, si = spectral_adjoint_pruned_dft(
+                g_dft, None, dim, N, m, sigma, M=M, cells=cells_s
+            )
         with jax.named_scope("fastsum_kernel_convolution"):
             cf = coeffs[None, ..., None]
             sr = sr * cf
             si = si * cf
         with jax.named_scope("fastsum_fft_forward"):
-            gr_dft, gi_dft = spectral_forward_pruned_dft(sr, si, dim, M, m, sigma)
+            gr_dft, gi_dft = spectral_forward_pruned_dft(
+                sr, si, dim, M, m, sigma, cells=cells_t
+            )
         with jax.named_scope("fastsum_gather"):
             # Only the real plane matters for the (real) output.
             return _gather_dft(
                 gr_dft, targets, target_batch, target_plan,
-                batch_size, N, m, sigma, strategy,
+                batch_size, N, m, sigma, strategy, use_t,
             )
 
     with jax.named_scope("fastsum_spread"):

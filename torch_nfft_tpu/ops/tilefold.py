@@ -79,14 +79,35 @@ def use_fold(
     return nt * f * itemsize <= budget
 
 
-def row_tile_ids(plan) -> jax.Array:
-    """(S,) int32 linear dense-tile id per plan row:
-    ``((batch*nb + t_0)*nb + t_1)*nb + ...`` with ``t_d = origin_d / T``."""
+def active_axes(plan, compact: bool):
+    """Per-axis (start_tile, num_tiles) of the slab the fold operates on:
+    the plan's active runs when ``compact``, else the full axes."""
     nb = plan.M // plan.T
+    if compact and plan.active is not None:
+        return tuple(plan.active)
+    return tuple((0, nb) for _ in range(plan.dim))
+
+
+def compact_cells(plan) -> tuple | None:
+    """Per-axis (cell_offset, cell_count) of the compact slab, for building
+    offset pruned-DFT matrices (ops/fft.py). None when no compaction."""
+    if plan.active is None or plan.dim != 3:
+        return None
+    T = plan.T
+    return tuple((s * T, a * T) for (s, a) in plan.active)
+
+
+def row_tile_ids(plan, compact: bool = False) -> jax.Array:
+    """(S,) int32 linear dense-tile id per plan row:
+    ``((batch*A_0 + t_0)*A_1 + t_1)* ...`` with ``t_d = origin_d / T``
+    (relative to the compact slab start when ``compact``)."""
+    nb = plan.M // plan.T
+    axes = active_axes(plan, compact)
     t = plan.origin // plan.T  # (S, dim)
     tid = plan.row_batch.astype(jnp.int32)
     for d in range(plan.dim):
-        tid = tid * nb + t[:, d]
+        s, a = axes[d]
+        tid = tid * a + (t[:, d] - s) % nb
     return tid
 
 
@@ -170,25 +191,28 @@ def _pair_fold(a, T: int, H: int, M: int, E: int):
     return body + jnp.roll(tail.reshape(P, M, Z, W), T, axis=1)
 
 
-def _fold3_dft(tiles_dense, plan, batch_size: int, C: int):
-    """(NT, C*H^3) -> DFT-layout grid (B, M1, M2, C, M0)."""
+def _fold3_dft(tiles_dense, plan, batch_size: int, C: int, compact: bool = False):
+    """(NT, C*H^3) -> DFT-layout grid (B, L1, L2, C, L0), with L_d = A_d*T
+    the (possibly compact) slab length per axis."""
     dim, T, H, M, nb, E = _geom(plan)
+    (s0, A0), (s1, A1), (s2, A2) = active_axes(plan, compact)
+    L0, L1, L2 = A0 * T, A1 * T, A2 * T
     B = batch_size
-    # pair 0: (B, nb0, Z0=nb*nb*C, H0, W0=H*H) with H0 moved next to nb0
-    a = tiles_dense.reshape(B, nb, nb * nb * C, H, H * H)
-    a = a.transpose(0, 1, 3, 2, 4)  # (B, nb0, H0, Z0, W0): minor W0 = H^2
-    g = _pair_fold(a, T, H, M, E)  # (B, M0, Z0, W0)
-    # park grid axis 0 on the minor: (B, Z0, W0, M0)
+    # pair 0: (B, A0, Z0=A1*A2*C, H0, W0=H*H) with H0 moved next to A0
+    a = tiles_dense.reshape(B, A0, A1 * A2 * C, H, H * H)
+    a = a.transpose(0, 1, 3, 2, 4)  # (B, A0, H0, Z0, W0): minor W0 = H^2
+    g = _pair_fold(a, T, H, L0, E)  # (B, L0, Z0, W0)
+    # park grid axis 0 on the minor: (B, Z0, W0, L0)
     g = g.transpose(0, 2, 3, 1)
-    # pair 1: Z0 = (nb1, nb2*C), W0 = (H1, H2)
-    a = g.reshape(B, nb, nb * C, H, H * M)  # (B, nb1, Z1, H1, W1=H2*M0)
-    a = a.transpose(0, 1, 3, 2, 4)  # minor H2*M0
-    g = _pair_fold(a, T, H, M, E)  # (B, M1, nb2*C, H2*M0)
+    # pair 1: Z0 = (A1, A2*C), W0 = (H1, H2)
+    a = g.reshape(B, A1, A2 * C, H, H * L0)  # (B, A1, Z1, H1, W1=H2*L0)
+    a = a.transpose(0, 1, 3, 2, 4)  # minor H2*L0
+    g = _pair_fold(a, T, H, L1, E)  # (B, L1, A2*C, H2*L0)
     # pair 2
-    a = g.reshape(B * M, nb, C, H, M)  # (BM1, nb2, Z2=C, H2, W2=M0)
-    a = a.transpose(0, 1, 3, 2, 4)  # minor M0
-    g = _pair_fold(a, T, H, M, E)  # (B*M1, M2, C, M0)
-    return g.reshape(B, M, M, C, M)
+    a = g.reshape(B * L1, A2, C, H, L0)  # (BL1, A2, Z2=C, H2, W2=L0)
+    a = a.transpose(0, 1, 3, 2, 4)  # minor L0
+    g = _pair_fold(a, T, H, L2, E)  # (B*L1, L2, C, L0)
+    return g.reshape(B, L1, L2, C, L0)
 
 
 def _pair_unfold(g, T: int, H: int, M: int, E: int, nb: int):
@@ -201,39 +225,43 @@ def _pair_unfold(g, T: int, H: int, M: int, E: int, nb: int):
     return jnp.concatenate([body, tail], axis=2)
 
 
-def unfold_grid_to_tiles_dft(g_dft, plan, batch_size: int):
-    """DFT-layout grid (B, M1, ..., C, M0) -> dense tiles (NT, C, H, H^{dim-1})."""
+def unfold_grid_to_tiles_dft(g_dft, plan, batch_size: int, compact: bool = False):
+    """DFT-layout grid (B, L1, ..., C, L0) -> dense tiles (NT, C, H, H^{dim-1})."""
     dim, T, H, M, nb, E = _geom(plan)
     B = batch_size
     if dim != 3:
         return grid_dft_to_flat_small(g_dft, plan, batch_size, unfold=True)
+    (s0, A0), (s1, A1), (s2, A2) = active_axes(plan, compact)
+    L0, L1, L2 = A0 * T, A1 * T, A2 * T
     C = g_dft.shape[3]
-    # pair 2: split M2 of (B*M1, M2, Z=C, W=M0)
-    a = _pair_unfold(g_dft.reshape(B * M, M, C, M), T, H, M, E, nb)
-    a = a.transpose(0, 1, 3, 2, 4)  # (B*M1, nb2, C, H2, M0): minor M0
-    # pair 1: split M1 of (B, M1, Z=nb2*C*H2, W=M0)
-    a = _pair_unfold(a.reshape(B, M, nb * C * H, M), T, H, M, E, nb)
-    # (B, nb1, H1, nb2*C*H2, M0) -> (B, nb1, nb2*C, H1, H2, M0): H1 must move
-    # right of (nb2, C) but left of H2.
-    a = a.reshape(B, nb, H, nb * C, H, M)
-    a = a.transpose(0, 1, 3, 2, 4, 5)  # minor M0
-    # pair 0: park M0 back in front of (Z0=nb1*nb2*C, W0=H1*H2)
-    a = a.reshape(B, nb * nb * C, H * H, M)
-    a = a.transpose(0, 3, 1, 2)  # (B, M0, Z0, W0): minor W0 = H^2
-    a = _pair_unfold(a, T, H, M, E, nb)  # (B, nb0, H0, Z0, W0)
-    a = a.transpose(0, 1, 3, 2, 4)  # (B, nb0, Z0, H0, W0): minor W0
-    return a.reshape(batch_size * nb**3, C, H, H * H)
+    # pair 2: split L2 of (B*L1, L2, Z=C, W=L0)
+    a = _pair_unfold(g_dft.reshape(B * L1, L2, C, L0), T, H, L2, E, A2)
+    a = a.transpose(0, 1, 3, 2, 4)  # (B*L1, A2, C, H2, L0): minor L0
+    # pair 1: split L1 of (B, L1, Z=A2*C*H2, W=L0)
+    a = _pair_unfold(a.reshape(B, L1, A2 * C * H, L0), T, H, L1, E, A1)
+    # (B, A1, H1, A2*C*H2, L0) -> (B, A1, A2*C, H1, H2, L0): H1 must move
+    # right of (A2, C) but left of H2.
+    a = a.reshape(B, A1, H, A2 * C, H, L0)
+    a = a.transpose(0, 1, 3, 2, 4, 5)  # minor L0
+    # pair 0: park L0 back in front of (Z0=A1*A2*C, W0=H1*H2)
+    a = a.reshape(B, A1 * A2 * C, H * H, L0)
+    a = a.transpose(0, 3, 1, 2)  # (B, L0, Z0, W0): minor W0 = H^2
+    a = _pair_unfold(a, T, H, L0, E, A0)  # (B, A0, H0, Z0, W0)
+    a = a.transpose(0, 1, 3, 2, 4)  # (B, A0, Z0, H0, W0): minor W0
+    return a.reshape(batch_size * A0 * A1 * A2, C, H, H * H)
 
 
-def fold_tiles_to_grid_dft(tiles_dense, plan, batch_size: int, C: int):
-    """(NT, C*H^dim) -> DFT-layout grid (B, M_1, ..., M_{dim-1}, C, M_0).
+def fold_tiles_to_grid_dft(tiles_dense, plan, batch_size: int, C: int,
+                           compact: bool = False):
+    """(NT, C*H^dim) -> DFT-layout grid (B, L_1, ..., L_{dim-1}, C, L_0).
 
-    For dim == 3 this is the layout-careful path; dim <= 2 grids are small,
-    so the simple fold plus one cheap transpose suffices.
+    For dim == 3 this is the layout-careful path, optionally on the compact
+    active slab (``compact=True``); dim <= 2 grids are small, so the simple
+    full-grid fold plus one cheap transpose suffices.
     """
     dim, T, H, M, nb, E = _geom(plan)
     if dim == 3:
-        return _fold3_dft(tiles_dense, plan, batch_size, C)
+        return _fold3_dft(tiles_dense, plan, batch_size, C, compact)
     flat = _fold_simple(tiles_dense, plan, batch_size, C)
     return grid_flat_to_dft(flat, plan.dim, M, batch_size)
 
