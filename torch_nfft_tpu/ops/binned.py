@@ -18,11 +18,18 @@ what the hardware is good at — dense contractions:
    (``spatial_window_operations.cu:68-97`` semantics, including the
    [0, 2m+2) truncation), and the row's halo tile is formed by the dense
    separable contraction ``tile[u,v,w] = sum_k x_k A0[k,u] A1[k,v] A2[k,w]``
-   — matmuls/VPU work instead of pointwise scatter. Whole tiles then move
-   with ONE index per row (windowed lax.scatter_add / lax.gather on a
-   periodically-extended grid), ~K*(2m+2)^dim fewer scatter indices than the
-   reference's per-(point, cell) atomicAdd. The gather runs the same
-   contraction in reverse off windowed tile reads.
+   — matmuls/VPU work instead of pointwise scatter (fused Pallas kernels on
+   TPU, chunked einsums otherwise). Tiles then accumulate into the *dense*
+   tile array with ONE scalar index per row and overlap-add onto the grid
+   with reshapes and rolls only (ops/tilefold.py) — zero windowed scatters;
+   a windowed lax.scatter_add/lax.gather fallback remains for geometries the
+   fold cannot cover (M % T != 0 or over the memory budget). The gather runs
+   the same contraction in reverse off dense tile reads.
+
+The ``*_dft`` entry points additionally keep the grid in the DFT layout
+``(B, M_1, ..., C, M_0)`` — produced natively by the layout-careful 3D fold
+and consumed directly by the pruned spectral matmuls (ops/fft.py) — and can
+restrict all grid-side work to the plan's active slab (``compact=True``).
 
 Everything in execute is jnp, so gradients w.r.t. both the values and the
 point positions flow (the plan is integer-only data).
@@ -573,6 +580,13 @@ def _spread_xla_windowed(plan: BinnedPlan, x, pos, batch_size: int):
 def _use_pallas(plan: BinnedPlan, C: int, dtype) -> bool:
     if jnp.issubdtype(dtype, jnp.complexfloating):
         return False
+    # Mosaic needs a real TPU. Interpret mode exists for kernel unit tests
+    # (which call the pallas internals directly), but dispatching through it
+    # here would (a) be slower than the XLA path and (b) leak tracer
+    # constants when linearized under jax.grad — the custom_vjp shields the
+    # backward, not the interpret-mode forward trace.
+    if jax.default_backend() != "tpu":
+        return False
     from .pallas.contract import pallas_supported
 
     return pallas_supported(plan, C)
@@ -642,6 +656,106 @@ def _spread_pallas(plan: BinnedPlan, x, pos, batch_size: int):
     return g.reshape(batch_size * M**dim, C)
 
 
+
+def _plan_zero_cotangent(plan: BinnedPlan):
+    """Cotangent for a plan argument of a custom_vjp: plans are integer
+    metadata plus the frozen slot coordinates — never differentiated. Int
+    leaves take float0 zeros (their tangent space), float leaves zeros."""
+    return jax.tree.map(
+        lambda a: (
+            jnp.zeros_like(a)
+            if jnp.issubdtype(a.dtype, jnp.inexact)
+            else np.zeros(a.shape, jax.dtypes.float0)
+        ),
+        plan,
+    )
+
+
+# The Pallas engines are value-only; their VJPs fall back to the
+# differentiable XLA paths. The custom_vjp wrappers are MODULE-LEVEL with the
+# plan as an explicit argument: a custom_vjp defined inside a jitted function
+# would close over the traced plan leaves, and those captured tracers poison
+# the residual jaxpr ("No constant handler for DynamicJaxprTracer").
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _spread_pallas_cv(batch_size, plan, x, pos):
+    return _spread_pallas(plan, x, pos, batch_size)
+
+
+def _spread_pallas_cv_fwd(batch_size, plan, x, pos):
+    return _spread_pallas(plan, x, pos, batch_size), (plan, x, pos)
+
+
+def _spread_pallas_cv_bwd(batch_size, res, g):
+    plan, x, pos = res
+    _, vjp = jax.vjp(lambda a, b: _spread_xla(plan, a, b, batch_size), x, pos)
+    dx, dpos = vjp(g)
+    return _plan_zero_cotangent(plan), dx, dpos
+
+
+_spread_pallas_cv.defvjp(_spread_pallas_cv_fwd, _spread_pallas_cv_bwd)
+
+
+@jax.custom_vjp
+def _gather_pallas_cv(plan, g_flat, pos):
+    return _gather_pallas(plan, g_flat, pos)
+
+
+def _gather_pallas_cv_fwd(plan, g_flat, pos):
+    return _gather_pallas(plan, g_flat, pos), (plan, g_flat, pos)
+
+
+def _gather_pallas_cv_bwd(res, g):
+    plan, gf, pos = res
+    _, vjp = jax.vjp(lambda a, b: _gather_xla(plan, a, b), gf, pos)
+    dg, dpos = vjp(g)
+    return _plan_zero_cotangent(plan), dg, dpos
+
+
+_gather_pallas_cv.defvjp(_gather_pallas_cv_fwd, _gather_pallas_cv_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _spread_dft_pallas_cv(batch_size, compact, plan, x, pos):
+    return _spread_dft_pallas(plan, x, pos, batch_size, compact)
+
+
+def _spread_dft_pallas_cv_fwd(batch_size, compact, plan, x, pos):
+    return _spread_dft_pallas(plan, x, pos, batch_size, compact), (plan, x, pos)
+
+
+def _spread_dft_pallas_cv_bwd(batch_size, compact, res, g):
+    plan, x, pos = res
+    _, vjp = jax.vjp(
+        lambda a, b: _spread_dft_xla(plan, a, b, batch_size, compact), x, pos
+    )
+    dx, dpos = vjp(g)
+    return _plan_zero_cotangent(plan), dx, dpos
+
+
+_spread_dft_pallas_cv.defvjp(_spread_dft_pallas_cv_fwd, _spread_dft_pallas_cv_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gather_dft_pallas_cv(compact, plan, g_dft, pos):
+    return _gather_dft_pallas(plan, g_dft, pos, compact)
+
+
+def _gather_dft_pallas_cv_fwd(compact, plan, g_dft, pos):
+    return _gather_dft_pallas(plan, g_dft, pos, compact), (plan, g_dft, pos)
+
+
+def _gather_dft_pallas_cv_bwd(compact, res, g):
+    plan, gd, pos = res
+    _, vjp = jax.vjp(lambda a, b: _gather_dft_xla(plan, a, b, compact), gd, pos)
+    dg, dpos = vjp(g)
+    return _plan_zero_cotangent(plan), dg, dpos
+
+
+_gather_dft_pallas_cv.defvjp(_gather_dft_pallas_cv_fwd, _gather_dft_pallas_cv_bwd)
+
+
 @partial(jax.jit, static_argnames=("batch_size",))
 def spread_binned(plan: BinnedPlan, x, pos, *, batch_size: int):
     """Spread x (n, C) onto the flat oversampled grid (batch_size*M^dim, C).
@@ -657,21 +771,7 @@ def spread_binned(plan: BinnedPlan, x, pos, *, batch_size: int):
     pos = pos.astype(jnp.float32)
     if not _use_pallas(plan, x.shape[1], x.dtype):
         return _spread_xla(plan, x, pos, batch_size)
-
-    @jax.custom_vjp
-    def f(x, pos):
-        return _spread_pallas(plan, x, pos, batch_size)
-
-    def f_fwd(x, pos):
-        return f(x, pos), (x, pos)
-
-    def f_bwd(res, g):
-        xr, posr = res
-        _, vjp = jax.vjp(lambda a, b: _spread_xla(plan, a, b, batch_size), xr, posr)
-        return vjp(g)
-
-    f.defvjp(f_fwd, f_bwd)
-    return f(x, pos)
+    return _spread_pallas_cv(batch_size, plan, x, pos)
 
 
 def _row_values_from_tiles(plan: BinnedPlan, pos, pt, vmask, org, tiles):
@@ -832,12 +932,12 @@ def _gather_pallas(plan: BinnedPlan, g_flat, pos):
             gx, starts, dnums, slice_sizes=slice_sizes,
             mode=jax.lax.GatherScatterMode.CLIP,
         )[:, 0]  # (R, C, (H,)*dim)
-        return t.reshape(R, C, H, H * H).astype(jnp.float32)
+        return t.reshape(R, C, H, H ** (dim - 1)).astype(jnp.float32)
 
     if n_chunks == 1:
         tiles = chunk_tiles(origin, row_batch, S_pad)[:S]
     else:
-        tiles = jnp.zeros((S_pad, C, H, H * H), jnp.float32)
+        tiles = jnp.zeros((S_pad, C, H, H ** (dim - 1)), jnp.float32)
 
         def body(i, tiles_acc):
             sl = i * Rc
@@ -863,21 +963,7 @@ def gather_binned(plan: BinnedPlan, g_flat, pos):
     pos = pos.astype(jnp.float32)
     if not _use_pallas(plan, g_flat.shape[1], g_flat.dtype):
         return _gather_xla(plan, g_flat, pos)
-
-    @jax.custom_vjp
-    def f(g_flat, pos):
-        return _gather_pallas(plan, g_flat, pos)
-
-    def f_fwd(g_flat, pos):
-        return f(g_flat, pos), (g_flat, pos)
-
-    def f_bwd(res, g):
-        gr, posr = res
-        _, vjp = jax.vjp(lambda a, b: _gather_xla(plan, a, b), gr, posr)
-        return vjp(g)
-
-    f.defvjp(f_fwd, f_bwd)
-    return f(g_flat, pos)
+    return _gather_pallas_cv(plan, g_flat, pos)
 
 
 # ---------------------------------------------------------------------------
@@ -910,24 +996,7 @@ def spread_binned_dft(plan: BinnedPlan, x, pos, *, batch_size: int,
     pos = pos.astype(jnp.float32)
     if not _use_pallas(plan, x.shape[1], x.dtype):
         return _spread_dft_xla(plan, x, pos, batch_size, compact)
-
-    @jax.custom_vjp
-    def f(x, pos):
-        return _spread_dft_pallas(plan, x, pos, batch_size, compact)
-
-    def f_fwd(x, pos):
-        return f(x, pos), (x, pos)
-
-    def f_bwd(res, g):
-        xr, posr = res
-        _, vjp = jax.vjp(
-            lambda a, b: _spread_dft_xla(plan, a, b, batch_size, compact),
-            xr, posr,
-        )
-        return vjp(g)
-
-    f.defvjp(f_fwd, f_bwd)
-    return f(x, pos)
+    return _spread_dft_pallas_cv(batch_size, compact, plan, x, pos)
 
 
 def _gather_dft_xla(plan: BinnedPlan, g_dft, pos, compact=False):
@@ -957,20 +1026,4 @@ def gather_binned_dft(plan: BinnedPlan, g_dft, pos, *, compact: bool = False):
     pos = pos.astype(jnp.float32)
     if not _use_pallas(plan, g_dft.shape[-2], g_dft.dtype):
         return _gather_dft_xla(plan, g_dft, pos, compact)
-
-    @jax.custom_vjp
-    def f(g_dft, pos):
-        return _gather_dft_pallas(plan, g_dft, pos, compact)
-
-    def f_fwd(g_dft, pos):
-        return f(g_dft, pos), (g_dft, pos)
-
-    def f_bwd(res, g):
-        gr, posr = res
-        _, vjp = jax.vjp(
-            lambda a, b: _gather_dft_xla(plan, a, b, compact), gr, posr
-        )
-        return vjp(g)
-
-    f.defvjp(f_fwd, f_bwd)
-    return f(g_dft, pos)
+    return _gather_dft_pallas_cv(compact, plan, g_dft, pos)

@@ -20,7 +20,7 @@ tile), pipelined automatically. Points sit on the LANE axis throughout; the
 window matrices are (H, K), so every elementwise op is lane-parallel and the
 contraction is one lane-contracting dot per K-chunk.
 
-3D only (the headline regime); 1D/2D use the XLA path. Kernels are
+2D/3D (1D uses the XLA path). Kernels are
 value-only — ops/binned.py wraps them in a custom_vjp whose backward falls
 back to the differentiable XLA path.
 """
@@ -49,62 +49,59 @@ def _interpret() -> bool:
 def pallas_supported(plan, C: int) -> bool:
     # K must tile the 128-lane axis and the kernel's chunking (either one
     # chunk of K <= _KC or whole _KC chunks); otherwise fall back to XLA.
-    if plan.dim != 3 or plan.K % 128:
+    if plan.dim not in (2, 3) or plan.K % 128:
         return False
     return plan.K <= _KC or plan.K % _KC == 0
 
 
-def _windows_fused(p3, org0, org1, org2, M, m, H, inv_b, amp):
-    """(A0, A1, A2), each (H, KC): window values of all three coordinate rows
-    against their tile cells origin_d + [0, H), evaluated in ONE batch of
+def _windows_fused(pd, orgs, M, m, H, inv_b, amp):
+    """Per-dim window matrices, each (H, KC): values of every coordinate row
+    against its tile cells origin_d + [0, H), evaluated in ONE batch of
     vector ops. Same math as binned._row_windows.
 
-    Layout: the three dims stack on the sublane axis in groups of
-    G = roundup(H, 8) rows (so the per-dim slices sit at aligned sublane
-    offsets); within a group, row u holds cell origin_d + u. Using the
-    unwrapped identity t = frac + m + o - u, every heavy op runs once on
-    (3G, KC) — the kernel is op-issue-bound, not FLOP-bound, so fewer,
-    bigger vector ops is the whole game.
+    Layout: the dims stack on the sublane axis in groups of G = roundup(H, 8)
+    rows (so the per-dim slices sit at aligned sublane offsets); within a
+    group, row u holds cell origin_d + u. Using the unwrapped identity
+    t = frac + m + o - u, every heavy op runs once on (dim*G, KC) — the
+    kernel is op-issue-bound, not FLOP-bound, so fewer, bigger vector ops is
+    the whole game.
     """
-    KC = p3.shape[1]
+    D, KC = pd.shape
     G = -(-H // 8) * 8
     L = 2 * m + 2
-    scaled = p3 * M  # (3, KC)
+    scaled = pd * M  # (D, KC)
     fl = jnp.floor(scaled)
     frac = scaled - fl
     s_mod = (fl.astype(jnp.int32) - m) % M
     org = jnp.concatenate(
-        [jnp.full((1, KC), org0, jnp.int32),
-         jnp.full((1, KC), org1, jnp.int32),
-         jnp.full((1, KC), org2, jnp.int32)],
-        axis=0,
-    )  # (3, KC)
-    o = (s_mod - org) % M  # (3, KC), in [0, T)
+        [jnp.full((1, KC), o, jnp.int32) for o in orgs], axis=0
+    )  # (D, KC)
+    o = (s_mod - org) % M  # (D, KC), in [0, T)
     o_r = jnp.concatenate(
-        [jnp.broadcast_to(o[d : d + 1], (G, KC)) for d in range(3)], axis=0
+        [jnp.broadcast_to(o[d : d + 1], (G, KC)) for d in range(D)], axis=0
     )
     frac_r = jnp.concatenate(
-        [jnp.broadcast_to(frac[d : d + 1], (G, KC)) for d in range(3)], axis=0
+        [jnp.broadcast_to(frac[d : d + 1], (G, KC)) for d in range(D)], axis=0
     )
-    u = jax.lax.broadcasted_iota(jnp.int32, (3 * G, KC), 0) % G
+    u = jax.lax.broadcasted_iota(jnp.int32, (D * G, KC), 0) % G
     rel = u - o_r  # integer, exact — same expression as binned._row_windows
     t = frac_r + (m - rel).astype(frac_r.dtype)
     vals = jnp.exp(-(t * t) * inv_b) * amp
     vals = jnp.where((rel >= 0) & (rel < L), vals, 0.0)
-    return vals[0:H], vals[G : G + H], vals[2 * G : 2 * G + H]
+    return [vals[d * G : d * G + H] for d in range(D)]
 
 
 def _khatri_rao(A, t, H):
     """(H^2, KC) rows r = v*H + w holding A[v, k] * t[w, k].
 
-    The element-repeat of A rides a broadcast that fuses into the multiply
-    (Mosaic lowers broadcast_to + collapse-reshape without a copy), and the
-    tile-repeat of t is one whole-array pltpu.repeat — the kernels are
-    VPU-pass-bound, so the KR costs ~2 big passes and nothing else.
+    Both row replications ride broadcasts that fuse into the multiply
+    (Mosaic lowers sublane broadcast_to + collapse-reshape without a
+    materialized copy), so the KR is ONE whole-array VPU pass — the kernels
+    are VPU-pass-bound, so every elementwise pass counts.
     """
     KC = t.shape[1]
-    A_rep = jnp.broadcast_to(A[:, None, :], (H, H, KC)).reshape(H * H, KC)
-    return A_rep * pltpu.repeat(t, H, axis=0)
+    prod = A[:, None, :] * t[None, :, :]  # (H, H, KC)
+    return prod.reshape(H * H, KC)
 
 
 def _chunks(K):
@@ -120,7 +117,7 @@ def _spread_kernel(
     org1_ref,  # lanes and blow the SMEM budget)
     org2_ref,
     data_ref,  # (F, K) block: rows [0:C]=x columns, [C:C+3]=coords
-    tile_ref,  # (1, C, H, H*H) block
+    tile_ref,  # (1, C, H, H^{dim-1}) block
     *,
     K,
     C,
@@ -129,28 +126,35 @@ def _spread_kernel(
     m,
     inv_b,
     amp,
+    dim,
 ):
     s = pl.program_id(0)
     count = row_count_ref[s]
     n_chunks, KC = _chunks(K)
+    W2 = H ** (dim - 1)
 
-    accs = [jnp.zeros((H, H * H), jnp.float32) for _ in range(C)]
+    accs = [jnp.zeros((H, W2), jnp.float32) for _ in range(C)]
     for j in range(n_chunks):
         sl = j * KC
         kmask = (
             jax.lax.broadcasted_iota(jnp.int32, (1, KC), 1) + sl < count
         ).astype(jnp.float32)
-        A0, A1, A2 = _windows_fused(
-            data_ref[C : C + 3, pl.ds(sl, KC)],
-            org0_ref[s], org1_ref[s], org2_ref[s], M, m, H, inv_b, amp,
+        orgs = (org0_ref[s], org1_ref[s], org2_ref[s])[:dim]
+        A = _windows_fused(
+            data_ref[C : C + dim, pl.ds(sl, KC)],
+            orgs, M, m, H, inv_b, amp,
         )
         for c in range(C):
             xw = data_ref[c : c + 1, pl.ds(sl, KC)] * kmask  # (1, KC)
-            # t2[v*H + w, k] = A1[v, k] * A2[w, k] * x[k]
-            t2 = _khatri_rao(A1, A2 * xw, H)
+            if dim == 2:
+                # tile[u, v] = sum_k A0[u, k] * A1[v, k] * x[k]
+                t2 = A[1] * xw  # (H, KC)
+            else:
+                # t2[v*H + w, k] = A1[v, k] * A2[w, k] * x[k]
+                t2 = _khatri_rao(A[1], A[2] * xw, H)
             # tile[u, vw] = sum_k A0[u, k] * t2[vw, k]
             accs[c] = accs[c] + jax.lax.dot_general(
-                A0,
+                A[0],
                 t2,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -167,8 +171,8 @@ def _gather_kernel(
     org2_ref,
     tile_index_ref,  # scalar prefetch (S,): tile block id per row (drives the
     # tile_in_ref index map; unused in the body)
-    tile_in_ref,  # (1, C, H, H*H) block
-    data_ref,  # (F, K) block: rows [0:3]=coords
+    tile_in_ref,  # (1, C, H, H^{dim-1}) block
+    data_ref,  # (F, K) block: rows [0:dim]=coords
     y_ref,  # (1, C, K) block
     *,
     K,
@@ -178,6 +182,7 @@ def _gather_kernel(
     m,
     inv_b,
     amp,
+    dim,
 ):
     s = pl.program_id(0)
     count = row_count_ref[s]
@@ -188,23 +193,24 @@ def _gather_kernel(
         kmask = (
             jax.lax.broadcasted_iota(jnp.int32, (1, KC), 1) + sl < count
         ).astype(jnp.float32)
-        A0, A1, A2 = _windows_fused(
-            data_ref[0:3, pl.ds(sl, KC)],
-            org0_ref[s], org1_ref[s], org2_ref[s], M, m, H, inv_b, amp,
+        orgs = (org0_ref[s], org1_ref[s], org2_ref[s])[:dim]
+        A = _windows_fused(
+            data_ref[0:dim, pl.ds(sl, KC)],
+            orgs, M, m, H, inv_b, amp,
         )
-        # B[v*H + w, k] = A1[v, k] * A2[w, k]
-        B = _khatri_rao(A1, A2, H)
+        # B[v*H + w, k] = A1[v, k] * A2[w, k]  (3D); B = A1 (2D)
+        B = _khatri_rao(A[1], A[2], H) if dim == 3 else A[1]
         for c in range(C):
-            G = tile_in_ref[0, c]  # (H, H*H)
+            G = tile_in_ref[0, c]  # (H, H^{dim-1})
             # t1[vw, k] = sum_u G[u, vw] A0[u, k]
             t1 = jax.lax.dot_general(
                 G,
-                A0,
+                A[0],
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
-            )  # (H*H, KC)
-            # y[k] = sum_{v,w} A1[v,k] A2[w,k] t1[v*H + w, k]
+            )  # (H^{dim-1}, KC)
+            # y[k] = sum_{vw} B[vw, k] t1[vw, k]
             yk = jnp.sum(B * t1, axis=0, keepdims=True) * kmask  # (1, KC)
             y_ref[0, c : c + 1, pl.ds(sl, KC)] = yk
 
@@ -216,11 +222,18 @@ def _slot_values(plan, x):
     return jnp.take(x, flat, axis=0).T  # (C, S*K)
 
 
-@functools.partial(jax.jit, static_argnames=("C",))
+def _origin_args(plan):
+    """Three 1D origin prefetch vectors (the unused tail repeats axis 0 for
+    dim == 2 — 2D SMEM operands would pad to 128 lanes and blow SMEM)."""
+    d = plan.dim
+    return tuple(plan.origin[:, min(i, d - 1)] for i in range(3))
+
+
 def spread_tiles_pallas(plan, x, pos, *, C):
-    """Fused tile contraction: (n, C) points -> (S, C, H, H*H) halo tiles."""
+    """Fused tile contraction: (n, C) points -> (S, C, H, H^{dim-1}) tiles."""
     S = plan.slot_pt.shape[0]
     K, H, M, m = plan.K, plan.H, plan.M, plan.m
+    W2 = H ** (plan.dim - 1)
     inv_b = window_inv_b(m, plan.sigma)
     amp = window_inv_sqrt_b_pi(m, plan.sigma)
 
@@ -237,21 +250,21 @@ def spread_tiles_pallas(plan, x, pos, *, C):
             pl.BlockSpec((F, K), lambda s, *_: (0, s), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, C, H, H * H), lambda s, *_: (s, 0, 0, 0), memory_space=pltpu.VMEM
+            (1, C, H, W2), lambda s, *_: (s, 0, 0, 0), memory_space=pltpu.VMEM
         ),
     )
     kernel = functools.partial(
-        _spread_kernel, K=K, C=C, H=H, M=M, m=m, inv_b=inv_b, amp=amp
+        _spread_kernel, K=K, C=C, H=H, M=M, m=m, inv_b=inv_b, amp=amp,
+        dim=plan.dim,
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((S, C, H, H * H), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((S, C, H, W2), jnp.float32),
         interpret=_interpret(),
-    )(plan.row_count, plan.origin[:, 0], plan.origin[:, 1], plan.origin[:, 2], data)
+    )(plan.row_count, *_origin_args(plan), data)
 
 
-@functools.partial(jax.jit, static_argnames=("C",))
 def gather_points_pallas(plan, tiles, pos, *, C, tile_index=None):
     """Fused point interpolation: halo tiles -> (S, C, K) slot values
     (ops/binned.py maps slots back to points via plan.inv_slot).
@@ -263,6 +276,7 @@ def gather_points_pallas(plan, tiles, pos, *, C, tile_index=None):
     """
     S = plan.slot_pt.shape[0]
     K, H, M, m = plan.K, plan.H, plan.M, plan.m
+    W2 = H ** (plan.dim - 1)
     inv_b = window_inv_b(m, plan.sigma)
     amp = window_inv_sqrt_b_pi(m, plan.sigma)
     if tile_index is None:
@@ -276,7 +290,7 @@ def gather_points_pallas(plan, tiles, pos, *, C, tile_index=None):
         grid=(S,),
         in_specs=[
             pl.BlockSpec(
-                (1, C, H, H * H),
+                (1, C, H, W2),
                 lambda s, cnt, o0, o1, o2, ti: (ti[s], 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -287,7 +301,8 @@ def gather_points_pallas(plan, tiles, pos, *, C, tile_index=None):
         ),
     )
     kernel = functools.partial(
-        _gather_kernel, K=K, C=C, H=H, M=M, m=m, inv_b=inv_b, amp=amp
+        _gather_kernel, K=K, C=C, H=H, M=M, m=m, inv_b=inv_b, amp=amp,
+        dim=plan.dim,
     )
     return pl.pallas_call(
         kernel,
@@ -296,9 +311,7 @@ def gather_points_pallas(plan, tiles, pos, *, C, tile_index=None):
         interpret=_interpret(),
     )(
         plan.row_count,
-        plan.origin[:, 0],
-        plan.origin[:, 1],
-        plan.origin[:, 2],
+        *_origin_args(plan),
         tile_index.astype(jnp.int32),
         tiles,
         data,
