@@ -1,0 +1,70 @@
+"""Timed run of the driver's batched 3D configuration (BASELINE.json #3):
+batch_size=16, N=256, m=4, trailing columns — at FULL size, on one chip.
+
+The reference allocates batch*cols*(2N)^3 complex in one go
+(core_cuda.cu:216) = 16 GiB here; this runs the grid-streamed pipeline
+(ops/streaming.py): one (active-slab) grid buffer reused across members.
+Usage: python examples/bench_batched.py [n_total_log2]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from torch_nfft_tpu.ops.streaming import (
+    make_streamed_layout,
+    nfft_adjoint_streamed,
+    nfft_forward_streamed,
+)
+
+
+def main():
+    logn = int(sys.argv[1]) if len(sys.argv) > 1 else 21
+    n, B, N, dim, m, C = 1 << logn, 16, 256, 3, 4, 2
+    rng = np.random.default_rng(7)
+    pos = (rng.random((n, dim), dtype=np.float32) - 0.5) / 2.0
+    batch = np.sort(rng.integers(0, B, n)).astype(np.int32)
+    batch[0], batch[-1] = 0, B - 1
+    x = rng.standard_normal((n, C)).astype(np.float32)
+
+    t0 = time.perf_counter()
+    layout = make_streamed_layout(pos, batch, batch_size=B, N=N, m=m)
+    print(f"layout+plans: {time.perf_counter()-t0:.1f}s "
+          f"(n_max={layout.n_max})", flush=True)
+
+    def pair():
+        yr, yi = nfft_adjoint_streamed(x, layout)
+        zr, _ = nfft_forward_streamed(yr, yi, layout)
+        return float(jnp.sum(zr))
+
+    t0 = time.perf_counter()
+    pair()
+    print(f"first pair (compile): {time.perf_counter()-t0:.1f}s", flush=True)
+    ts = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        pair()
+        ts.append(time.perf_counter() - t0)
+        print(f"iter {i}: {ts[-1]:.3f}s", flush=True)
+    t = float(np.median(ts))
+    print(f"B={B} N={N} C={C} n={n}: {t:.3f} s/pair = {n/t/1e6:.2f} M points/s",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -104,3 +104,29 @@ def test_streamed_roundtrip_3d(rng):
     yref = tn.nfft_adjoint(x, pos, batch, bandwidth=N, cutoff=m)
     zref = np.asarray(tn.nfft_forward(yref, pos, batch, cutoff=m)).real
     np.testing.assert_allclose(np.asarray(zr), zref, rtol=2e-3, atol=2e-3)
+
+
+def test_streamed_compact_slab_matches_direct(rng):
+    """Streamed members share one merged active slab (plan_stack preserves
+    `active`); results must match the plan-free scatter pipeline."""
+    import jax.numpy as jnp
+
+    from torch_nfft_tpu.ops.planar import nfft_adjoint_planar
+    from torch_nfft_tpu.ops.streaming import make_streamed_layout, nfft_adjoint_streamed
+
+    n, dim, N, m, B = 1200, 3, 64, 4, 2
+    pos = ((rng.random((n, dim)) - 0.5) * 0.5).astype(np.float32)
+    batch = np.sort(rng.integers(0, B, n)).astype(np.int32)
+    batch[0], batch[-1] = 0, B - 1
+    x = rng.standard_normal((n, 2)).astype(np.float32)
+
+    layout = make_streamed_layout(pos, batch, batch_size=B, N=N, m=m)
+    assert layout.plans is not None and layout.plans.active is not None
+    yr, yi = nfft_adjoint_streamed(x, layout)
+
+    er, ei = nfft_adjoint_planar(
+        jnp.asarray(x), jnp.asarray(pos), jnp.asarray(batch), None,
+        batch_size=B, N=N, m=m, strategy="scatter",
+    )
+    np.testing.assert_allclose(np.asarray(yr), np.asarray(er), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(yi), np.asarray(ei), rtol=2e-4, atol=2e-4)

@@ -163,6 +163,18 @@ def position_fingerprint(pos, M: int, m: int) -> int:
     return int(s_mod.sum())
 
 
+def _min_cyclic_run(cover, nb: int):
+    """(start, count) of the minimal cyclic run covering the tile set."""
+    if cover.size >= nb:
+        return (0, nb)
+    s = np.sort(cover)
+    gaps = np.diff(np.concatenate([s, s[:1] + nb]))
+    i = int(np.argmax(gaps))
+    start = int(s[(i + 1) % s.size])
+    count = nb - int(gaps[i]) + 1
+    return (start, count)
+
+
 def _active_runs(origin_np, T: int, M: int, dim: int) -> tuple | None:
     """Per-axis minimal cyclic tile run covering every occupied tile and its
     +1 neighbour (the halo spill target). Returns ((start, count), ...) or
@@ -180,17 +192,35 @@ def _active_runs(origin_np, T: int, M: int, dim: int) -> tuple | None:
         if occ.size == 0:
             return None
         cover = np.unique(np.concatenate([occ, (occ + 1) % nb]))
-        if cover.size >= nb:
+        run = _min_cyclic_run(cover, nb)
+        runs.append(run)
+        if run[1] < nb:
+            any_partial = True
+    return tuple(runs) if any_partial else None
+
+
+def merge_active_runs(actives, nb: int, dim: int) -> tuple | None:
+    """Union of per-plan active runs (for stacked plans whose members must
+    share one slab). Any member with a full/unknown axis makes that axis
+    full; the result is minimal over the union of member tile sets."""
+    runs = []
+    any_partial = False
+    for d in range(dim):
+        tiles = []
+        full = False
+        for a in actives:
+            if a is None or a[d][1] >= nb:
+                full = True
+                break
+            s, c = a[d]
+            tiles.append((s + np.arange(c)) % nb)
+        if full:
             runs.append((0, nb))
             continue
-        # largest cyclic gap between covered tiles; the run starts after it
-        s = np.sort(cover)
-        gaps = np.diff(np.concatenate([s, s[:1] + nb]))
-        i = int(np.argmax(gaps))
-        start = int(s[(i + 1) % s.size])
-        count = nb - int(gaps[i]) + 1
-        runs.append((start, count))
-        any_partial = True
+        run = _min_cyclic_run(np.unique(np.concatenate(tiles)), nb)
+        runs.append(run)
+        if run[1] < nb:
+            any_partial = True
     return tuple(runs) if any_partial else None
 
 

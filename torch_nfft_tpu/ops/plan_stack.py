@@ -23,7 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .binned import BinnedPlan, build_plan
+from .binned import BinnedPlan, build_plan, merge_active_runs
 
 __all__ = [
     "pad_plan_rows",
@@ -59,6 +59,7 @@ def pad_plan_rows(plan: BinnedPlan, S_target: int) -> BinnedPlan:
         K=plan.K,
         batch_size=plan.batch_size,
         pos_fp=plan.pos_fp,
+        active=plan.active,
     )
 
 
@@ -95,6 +96,11 @@ def stack_plans(plans: list[BinnedPlan]) -> BinnedPlan:
         K=p0.K,
         batch_size=p0.batch_size,
         pos_fp=None,
+        # one shared slab for every member: the fold shapes must agree
+        # across the lax.fori_loop / shard_map that indexes the stack
+        active=merge_active_runs(
+            [p.active for p in plans], p0.M // p0.T, p0.dim
+        ),
     )
 
 

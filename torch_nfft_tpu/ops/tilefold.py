@@ -100,14 +100,20 @@ def compact_cells(plan) -> tuple | None:
 def row_tile_ids(plan, compact: bool = False) -> jax.Array:
     """(S,) int32 linear dense-tile id per plan row:
     ``((batch*A_0 + t_0)*A_1 + t_1)* ...`` with ``t_d = origin_d / T``
-    (relative to the compact slab start when ``compact``)."""
+    (relative to the compact slab start when ``compact``).
+
+    Per-axis indices clamp into the slab: only padded rows (row_count == 0,
+    origin 0 — e.g. from plan_stack.pad_plan_rows) can fall outside, their
+    contributions are masked to zero everywhere, and the clamp keeps the
+    Pallas block index maps in bounds.
+    """
     nb = plan.M // plan.T
     axes = active_axes(plan, compact)
     t = plan.origin // plan.T  # (S, dim)
     tid = plan.row_batch.astype(jnp.int32)
     for d in range(plan.dim):
         s, a = axes[d]
-        tid = tid * a + (t[:, d] - s) % nb
+        tid = tid * a + jnp.minimum((t[:, d] - s) % nb, a - 1)
     return tid
 
 
