@@ -263,3 +263,64 @@ def test_sharded_plans_gradient_flows(mesh, rng):
     g = np.asarray(jax.grad(loss)(jnp.asarray(x0)))
     g_ref = np.asarray(jax.grad(loss_ref)(jnp.asarray(x0)))
     np.testing.assert_allclose(g, g_ref, rtol=1e-3, atol=1e-4)
+
+
+def test_grid_sharded_spectral_matches_unsharded(rng):
+    """Grid-sharded pruned DFT (M1 axis over 8 chips): the adjoint stage
+    needs one psum of the N^dim spectrum, the forward stage no collective;
+    both must equal the single-device pruned transforms."""
+    from jax.sharding import PartitionSpec as P
+
+    from torch_nfft_tpu.ops.fft import (
+        spectral_adjoint_pruned_dft,
+        spectral_forward_pruned_dft,
+    )
+    from torch_nfft_tpu.parallel.sharded import (
+        spectral_adjoint_pruned_dft_sharded,
+        spectral_forward_pruned_dft_sharded,
+    )
+
+    dim, N, m, sigma, B, C = 3, 8, 3, 2.0, 2, 2
+    M = int(round(sigma * N))
+    P_SH = 8
+    mesh = jax.make_mesh((P_SH,), ("grid",))
+
+    g = jnp.asarray(
+        rng.standard_normal((B, M, M, C, M)).astype(np.float32)
+    )  # DFT layout (B, M1, M2, C, M0)
+
+    ref_r, ref_i = spectral_adjoint_pruned_dft(g, None, dim, N, m, sigma, M=M)
+
+    def adj_local(gr):
+        return spectral_adjoint_pruned_dft_sharded(
+            gr, None, dim, N, m, sigma, "grid", M
+        )
+
+    yr, yi = jax.jit(
+        jax.shard_map(
+            adj_local, mesh=mesh,
+            in_specs=(P(None, "grid"),),
+            out_specs=(P(), P()),
+        )
+    )(g)
+    np.testing.assert_allclose(np.asarray(yr), np.asarray(ref_r), rtol=2e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(yi), np.asarray(ref_i), rtol=2e-4, atol=2e-3)
+
+    xr = jnp.asarray(rng.standard_normal((B,) + (N,) * dim + (C,)).astype(np.float32))
+    xi = jnp.asarray(rng.standard_normal(xr.shape).astype(np.float32))
+    er, ei = spectral_forward_pruned_dft(xr, xi, dim, M, m, sigma)
+
+    def fwd_local(ar, ai):
+        return spectral_forward_pruned_dft_sharded(
+            ar, ai, dim, M, m, sigma, "grid", P_SH
+        )
+
+    gr_s, gi_s = jax.jit(
+        jax.shard_map(
+            fwd_local, mesh=mesh,
+            in_specs=(P(), P()),
+            out_specs=(P(None, "grid"), P(None, "grid")),
+        )
+    )(xr, xi)
+    np.testing.assert_allclose(np.asarray(gr_s), np.asarray(er), rtol=2e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(gi_s), np.asarray(ei), rtol=2e-4, atol=2e-3)

@@ -21,6 +21,8 @@ from .sharded import (
     nfft_adjoint_sharded,
     nfft_fastsum_sharded,
     nfft_forward_sharded,
+    spectral_adjoint_pruned_dft_sharded,
+    spectral_forward_pruned_dft_sharded,
 )
 from .training import make_fastsum_train_step
 
@@ -31,5 +33,7 @@ __all__ = [
     "nfft_adjoint_sharded",
     "nfft_forward_sharded",
     "nfft_fastsum_sharded",
+    "spectral_adjoint_pruned_dft_sharded",
+    "spectral_forward_pruned_dft_sharded",
     "make_fastsum_train_step",
 ]

@@ -372,3 +372,124 @@ def nfft_fastsum_sharded(
         source_plans, target_plans,
     )
     return y.reshape((n_tgt,) + trailing)
+
+
+# ---------------------------------------------------------------------------
+# Grid-sharded spectral transforms (the SURVEY section-5 "sharded FFT for
+# large N^dim" answer): the pruned band-limited DFT (ops/fft.py) is per-axis
+# matmuls, so sharding the grid's M_1 axis across chips turns the adjoint
+# spectral stage into local contractions plus ONE psum of the (small) N^dim
+# spectrum, and the forward stage into fully local slab contractions with no
+# collective at all. One chip never holds more than its grid slab.
+# ---------------------------------------------------------------------------
+
+
+def _axis_contract_local(x, mat, ax):
+    from ..ops.fft import _axis_contract
+
+    return _axis_contract(x, mat, ax)
+
+
+def spectral_adjoint_pruned_dft_sharded(
+    gr, gi, dim, N, m, sigma, axis_name, M, cells=None
+):
+    """Adjoint spectral stage on a grid slab, inside a shard_map.
+
+    gr/gi: the LOCAL slab of the DFT-layout grid (B, L1/P, ..., C, L0),
+    sharded over grid axis 1 (the M_1 axis) on mesh axis ``axis_name``;
+    gi may be None. Returns the REPLICATED centered spectrum
+    (B, (N,)*dim, C) after one psum per plane. ``cells`` as in
+    ops/fft.py:spectral_adjoint_pruned_dft (the sharded axis's spec refers
+    to the full axis; each chip slices its row block by axis_index).
+    """
+    from ..ops.fft import _cells_spec, _pruned_mats_np
+
+    spec = _cells_spec(dim, M, cells)
+
+    def mats_for(d):
+        off, L = spec[d]
+        cr, ci = _pruned_mats_np(N, M, m, float(sigma), +1, off, L)
+        return jnp.asarray(cr), jnp.asarray(ci)
+
+    # local axes first: M0 (last axis) then M2.. shrink to N
+    mr0, mi0 = mats_for(0)
+    rr = _axis_contract_local(gr, mr0, gr.ndim - 1)
+    ri = _axis_contract_local(gr, mi0, gr.ndim - 1)
+    if gi is not None:
+        rr = rr - _axis_contract_local(gi, mi0, gi.ndim - 1)
+        ri = ri + _axis_contract_local(gi, mr0, gi.ndim - 1)
+    gr, gi = rr, ri
+    for d in range(2, dim):
+        mrd, mid = mats_for(d)
+        rr = _axis_contract_local(gr, mrd, d)
+        ri2 = _axis_contract_local(gr, mid, d)
+        ir = _axis_contract_local(gi, mrd, d)
+        ii = _axis_contract_local(gi, mid, d)
+        gr, gi = rr - ii, ri2 + ir
+
+    # sharded M1 axis: contract the LOCAL row block of the full matrix,
+    # then one psum completes the sum over grid cells.
+    mr1_full, mi1_full = mats_for(1)
+    L1_loc = gr.shape[1]
+    idx = jax.lax.axis_index(axis_name)
+    mr1 = jax.lax.dynamic_slice_in_dim(mr1_full, idx * L1_loc, L1_loc, 0)
+    mi1 = jax.lax.dynamic_slice_in_dim(mi1_full, idx * L1_loc, L1_loc, 0)
+    rr = _axis_contract_local(gr, mr1, 1) - _axis_contract_local(gi, mi1, 1)
+    ri = _axis_contract_local(gr, mi1, 1) + _axis_contract_local(gi, mr1, 1)
+    rr = jax.lax.psum(rr, axis_name)
+    ri = jax.lax.psum(ri, axis_name)
+    perm = [0, rr.ndim - 1] + list(range(1, rr.ndim - 1))
+    return rr.transpose(perm), ri.transpose(perm)
+
+
+def spectral_forward_pruned_dft_sharded(
+    xr, xi, dim, M, m, sigma, axis_name, n_shards, cells=None
+):
+    """Forward spectral stage producing a grid slab, inside a shard_map.
+
+    xr/xi: the REPLICATED centered spectrum (B, (N,)*dim, C). Returns the
+    LOCAL slab (B, L1/P, ..., C, L0) of the DFT-layout grid for this chip's
+    block of the M_1 axis — fully local, zero collectives (every output
+    cell depends only on the replicated spectrum).
+    """
+    from ..ops.fft import _cells_spec, _pruned_mats_np
+
+    N = xr.shape[1]
+    spec = _cells_spec(dim, M, cells)
+
+    def mats_for(d, sign=-1):
+        off, L = spec[d]
+        cr, ci = _pruned_mats_np(N, M, m, float(sigma), sign, off, L)
+        return (
+            jnp.asarray(np.ascontiguousarray(cr.T)),
+            jnp.asarray(np.ascontiguousarray(ci.T)),
+        )
+
+    perm = [0] + list(range(2, dim + 2)) + [1]
+    xr = xr.transpose(perm)
+    xi = None if xi is None else xi.transpose(perm)
+
+    def cx(ar, ai, mr, mi, ax):
+        rr = _axis_contract_local(ar, mr, ax)
+        ri = _axis_contract_local(ar, mi, ax)
+        if ai is None:
+            return rr, ri
+        return (
+            rr - _axis_contract_local(ai, mi, ax),
+            ri + _axis_contract_local(ai, mr, ax),
+        )
+
+    mr0, mi0 = mats_for(0)
+    xr, xi = cx(xr, xi, mr0, mi0, xr.ndim - 1)  # N0 -> L0 (local)
+    # sharded M1 axis: slice this chip's COLUMN block of the (N, L1) matrix
+    mr1_full, mi1_full = mats_for(1)
+    L1 = mr1_full.shape[1]
+    L1_loc = L1 // n_shards
+    idx = jax.lax.axis_index(axis_name)
+    mr1 = jax.lax.dynamic_slice_in_dim(mr1_full, idx * L1_loc, L1_loc, 1)
+    mi1 = jax.lax.dynamic_slice_in_dim(mi1_full, idx * L1_loc, L1_loc, 1)
+    xr, xi = cx(xr, xi, mr1, mi1, 1)
+    for d in range(2, dim):
+        mrd, mid = mats_for(d)
+        xr, xi = cx(xr, xi, mrd, mid, d)
+    return xr, xi
