@@ -275,7 +275,9 @@ def build_plan(
         mean_occ = float(occ.mean()) if occ.size else 1.0
         # Large K keeps the windowed-tile count (and its per-window cost)
         # independent of n; the einsum chunker bounds the memory.
-        return min(2048, max(8, _next_pow2(math.ceil(mean_occ))))
+        # cap at the Pallas lane-chunk size: a K=2048 row runs two kernel
+        # chunks with worse VMEM pipelining than two K=1024 rows
+        return min(1024, max(8, _next_pow2(math.ceil(mean_occ))))
 
     native = plan_tables(
         pos,
@@ -333,7 +335,7 @@ def build_plan(
         # Row capacity: near the mean occupancy, clamped to a MXU-friendly
         # range. Rows per tile = ceil(count/K).
         mean_occ = n / max(1, len(uniq))
-        K = int(min(2048, max(8, _next_pow2(math.ceil(mean_occ)))))
+        K = int(min(1024, max(8, _next_pow2(math.ceil(mean_occ)))))
 
     rows_per_bin = -(-counts // K)
     S = int(rows_per_bin.sum())
@@ -549,7 +551,10 @@ def _dense_tiles_xla(plan: BinnedPlan, x, pos, batch_size: int, compact=False):
         t_id = jax.lax.dynamic_slice_in_dim(tid, sl, R, 0)
         tiles = _tiles_for_chunk(plan, x, pos, pt, vmask, org)
         return acc.at[t_id].add(
-            tiles.reshape(R, F), mode="drop", indices_are_sorted=True
+            # indices are grouped per tile but NOT ascending when the active
+            # slab wraps the periodic boundary (compact ids are a cyclic
+            # rotation of the sorted global ids) — no sortedness hint
+            tiles.reshape(R, F), mode="drop"
         )
 
     acc = body(0, acc)  # seed varying carry (see _spread_xla_windowed)
@@ -642,7 +647,7 @@ def _dense_tiles_pallas(plan: BinnedPlan, x, pos, batch_size: int, compact=False
     NT = batch_size * math.prod(a for _, a in active_axes(plan, compact))
     F = C * H**dim
     return jnp.zeros((NT, F), dtype=x.dtype).at[row_tile_ids(plan, compact)].add(
-        tiles.reshape(S, F), mode="drop", indices_are_sorted=True
+        tiles.reshape(S, F), mode="drop"
     )
 
 
