@@ -33,25 +33,7 @@ from torch_nfft_tpu.ops.streaming import (
 )
 
 
-def main():
-    logn = int(sys.argv[1]) if len(sys.argv) > 1 else 21
-    n, B, N, dim, m, C = 1 << logn, 16, 256, 3, 4, 2
-    rng = np.random.default_rng(7)
-    pos = (rng.random((n, dim), dtype=np.float32) - 0.5) / 2.0
-    batch = np.sort(rng.integers(0, B, n)).astype(np.int32)
-    batch[0], batch[-1] = 0, B - 1
-    x = rng.standard_normal((n, C)).astype(np.float32)
-
-    t0 = time.perf_counter()
-    layout = make_streamed_layout(pos, batch, batch_size=B, N=N, m=m)
-    print(f"layout+plans: {time.perf_counter()-t0:.1f}s "
-          f"(n_max={layout.n_max})", flush=True)
-
-    def pair():
-        yr, yi = nfft_adjoint_streamed(x, layout)
-        zr, _ = nfft_forward_streamed(yr, yi, layout)
-        return float(jnp.sum(zr))
-
+def _run_pairs(pair, label, n):
     t0 = time.perf_counter()
     pair()
     print(f"first pair (compile): {time.perf_counter()-t0:.1f}s", flush=True)
@@ -62,8 +44,70 @@ def main():
         ts.append(time.perf_counter() - t0)
         print(f"iter {i}: {ts[-1]:.3f}s", flush=True)
     t = float(np.median(ts))
-    print(f"B={B} N={N} C={C} n={n}: {t:.3f} s/pair = {n/t/1e6:.2f} M points/s",
-          flush=True)
+    print(f"{label}: {t:.3f} s/pair = {n/t/1e6:.2f} M points/s", flush=True)
+
+
+def main():
+    logn = int(sys.argv[1]) if len(sys.argv) > 1 else 21
+    mode = sys.argv[2] if len(sys.argv) > 2 else "global"
+    n, B, N, dim, m, C = 1 << logn, 16, 256, 3, 4, 2
+    rng = np.random.default_rng(7)
+    pos = (rng.random((n, dim), dtype=np.float32) - 0.5) / 2.0
+    batch = np.sort(rng.integers(0, B, n)).astype(np.int32)
+    batch[0], batch[-1] = 0, B - 1
+    x = rng.standard_normal((n, C)).astype(np.float32)
+
+    if mode == "stream":
+        t0 = time.perf_counter()
+        layout = make_streamed_layout(pos, batch, batch_size=B, N=N, m=m)
+        print(f"layout+plans: {time.perf_counter()-t0:.1f}s "
+              f"(n_max={layout.n_max})", flush=True)
+
+        def pair():
+            yr, yi = nfft_adjoint_streamed(x, layout)
+            zr, _ = nfft_forward_streamed(yr, yi, layout)
+            return float(jnp.sum(zr))
+
+        _run_pairs(pair, f"stream B={B} N={N} C={C} n={n}", n)
+        return
+
+    # "global": batch members run in GROUPS of Gm directly in the grid's
+    # leading dim (active-slab compaction makes multi-member grids fit);
+    # columns run one at a time to keep the dense tile array inside the
+    # fold budget. Far fewer, bigger pipelines than one-member streaming.
+    from torch_nfft_tpu.ops.binned import build_plan
+    from torch_nfft_tpu.ops.planar import nfft_adjoint_planar, nfft_forward_planar
+
+    Gm = int(os.environ.get("BATCH_GROUP", 8))
+    Kf = os.environ.get("BATCH_K")
+    Kf = int(Kf) if Kf else None
+    t0 = time.perf_counter()
+    groups = []
+    for g0 in range(0, B, Gm):
+        sel = (batch >= g0) & (batch < g0 + Gm)
+        pos_g, batch_g, x_g = pos[sel], batch[sel] - g0, x[sel]
+        plan_g = build_plan(pos_g, batch_g, N=N, m=m, batch_size=Gm, K=Kf)
+        groups.append((jnp.asarray(pos_g), jnp.asarray(batch_g),
+                       jnp.asarray(x_g), plan_g))
+    print(f"plans: {time.perf_counter()-t0:.1f}s groups={len(groups)} "
+          f"rows={groups[0][3].slot_pt.shape[0]} K={groups[0][3].K} "
+          f"active={groups[0][3].active}", flush=True)
+
+    def pair():
+        acc = 0.0
+        for posj, batchj, xj, plan in groups:
+            for c in range(C):
+                yr, yi = nfft_adjoint_planar(
+                    xj[:, c : c + 1], posj, batchj, plan, batch_size=Gm,
+                    N=N, m=m,
+                )
+                zr, _ = nfft_forward_planar(
+                    yr, yi, posj, batchj, plan, batch_size=Gm, dim=dim, m=m
+                )
+                acc += float(jnp.sum(zr))
+        return acc
+
+    _run_pairs(pair, f"global B={B} (groups of {Gm}) N={N} C={C} n={n}", n)
 
 
 if __name__ == "__main__":

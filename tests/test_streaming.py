@@ -120,7 +120,9 @@ def test_streamed_compact_slab_matches_direct(rng):
     batch[0], batch[-1] = 0, B - 1
     x = rng.standard_normal((n, 2)).astype(np.float32)
 
-    layout = make_streamed_layout(pos, batch, batch_size=B, N=N, m=m)
+    # pin T=16 so the slab exists at this size (the density probe would
+    # pick T=32, whose coarser tiles cover the axis)
+    layout = make_streamed_layout(pos, batch, batch_size=B, N=N, m=m, T=16)
     assert layout.plans is not None and layout.plans.active is not None
     yr, yi = nfft_adjoint_streamed(x, layout)
 

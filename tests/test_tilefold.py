@@ -123,7 +123,9 @@ def test_compact_dft_pipeline_matches_scatter(rng, span):
     pos = ((rng.random((n, dim)) - 0.5) * span).astype(np.float32)
     batch = np.zeros((n,), np.int32)
     x = jnp.asarray(rng.standard_normal((n, 2)).astype(np.float32))
-    plan = build_plan(pos, batch, N=N, m=m, batch_size=B)
+    # pin T=16: the density probe would pick T=32 here, whose coarser tiles
+    # cover the axis and disable the slab this test exercises
+    plan = build_plan(pos, batch, N=N, m=m, batch_size=B, T=16)
     if span < 1.0:
         assert plan.active is not None, "sub-box points must yield a slab"
     posj, batchj = jnp.asarray(pos), jnp.asarray(batch)
@@ -161,8 +163,8 @@ def test_compact_fastsum_matches(rng):
     coeffs = gaussian_analytic_coeffs(0.4, dim, N)
     b_s = jnp.zeros((n,), jnp.int32)
     b_t = jnp.zeros((300,), jnp.int32)
-    sp = build_plan(src, None, N=N, m=m, batch_size=1)
-    tp = build_plan(tgt, None, N=N, m=m, batch_size=1)
+    sp = build_plan(src, None, N=N, m=m, batch_size=1, T=16)
+    tp = build_plan(tgt, None, N=N, m=m, batch_size=1, T=16)
     assert sp.active is not None and tp.active is not None
 
     y = nfft_fastsum_real(

@@ -263,6 +263,17 @@ def build_plan(
     M = int(round(sigma * N))
     if T is None:
         T = default_tile(dim, m, M)
+        if dim == 3 and M % 32 == 0 and M > 32:
+            # Density probe: at low occupancy the engines are row-bound, so
+            # fewer/fuller T=32 tiles beat T=16's smaller halos (the halo
+            # volume ratio (H/T)^3 also drops, 3.8x -> 2.1x at m=4).
+            s16 = (((np.floor(pos * M).astype(np.int64) - m) % M) // 16)
+            ids = batch
+            for d in range(dim):
+                ids = ids * (M // 16) + s16[:, d]
+            occ16 = n / max(1, np.unique(ids).size)
+            if occ16 < 64:
+                T = 32
     T = min(T, M)
     nb = -(-M // T)  # tiles per axis
 

@@ -33,7 +33,13 @@ from .spectral import (
     fastsum_band_filter,
 )
 from .spread_gather import gather, spread
-from .tilefold import compact_cells, grid_dft_to_flat, grid_flat_to_dft, use_fold
+from .tilefold import (
+    compact_cells,
+    grid_dft_to_flat,
+    grid_flat_to_dft,
+    tile_array_bytes,
+    use_fold,
+)
 
 __all__ = [
     "nfft_adjoint_planar",
@@ -49,10 +55,15 @@ def _dft_route(plan, C: int, batch_size: int):
     fold engine carries the grid, and — if the plan has an active slab — the
     per-axis (offset, length) spec the pruned DFT matrices must match. The
     spread/gather side and the DFT side MUST share this decision: a compact
-    grid is only meaningful to matrices built with the same cells."""
-    if plan is None or not use_fold(plan, C, 4, batch_size):
+    grid is only meaningful to matrices built with the same cells. The
+    memory budget is judged on the array the route would actually build —
+    the compact slab when the plan has one."""
+    if plan is None:
         return False, None
-    return True, compact_cells(plan)
+    cells = compact_cells(plan)
+    if not use_fold(plan, C, 4, batch_size, compact=cells is not None):
+        return False, None
+    return True, cells
 
 
 def _spread_dft(x, pos, batch, plan, batch_size, N, m, sigma, strategy, dim,
@@ -168,12 +179,34 @@ def nfft_forward_planar(
     C = xr.shape[-1]
 
     if M <= PRUNED_MAX:
-        use_plan, cells = _dft_route(plan, 2 * C, batch_size)
+        use_plan2, cells2 = _dft_route(plan, 2 * C, batch_size)
+        use_plan1, cells1 = _dft_route(plan, C, batch_size)
+        # Prefer one gather with both planes on the column axis; gather the
+        # planes separately (columns are independent signals) when only the
+        # single-plane tile array fits the fold budget, or when the 2-plane
+        # array is large enough that its unfold transients threaten HBM.
+        split_planes = use_plan1 and (
+            not use_plan2
+            or tile_array_bytes(
+                plan, 2 * C, 4, batch_size, compact_cells(plan) is not None
+            ) > (3 << 29)
+        )
+        use_plan, cells = (use_plan1, cells1) if split_planes else (use_plan2, cells2)
         with jax.named_scope("nfft_rolloff_fft"):
             gr_dft, gi_dft = spectral_forward_pruned_dft(
                 xr, xi, dim, M, m, sigma, cells=cells
             )
         with jax.named_scope("nfft_gather"):
+            if split_planes:
+                yr = _gather_dft(
+                    gr_dft, pos, batch, plan, batch_size, N, m, sigma,
+                    strategy, use_plan,
+                )
+                yi = _gather_dft(
+                    gi_dft, pos, batch, plan, batch_size, N, m, sigma,
+                    strategy, use_plan,
+                )
+                return yr, yi
             # Planes ride the column axis (axis -2 in the DFT layout).
             g2_dft = jnp.concatenate([gr_dft, gi_dft], axis=-2)
             y = _gather_dft(

@@ -97,11 +97,12 @@ def make_streamed_layout(
     m: int,
     sigma: float = DEFAULT_SIGMA,
     plan: bool = True,
+    T: int | None = None,
 ) -> StreamedLayout:
     """Split (pos, batch) into members and build the per-member plan stack."""
     pos_stack, _, counts, _ = split_by_batch(pos, None, batch, batch_size)
     plans = (
-        build_plan_stack(pos_stack, N=N, m=m, sigma=sigma) if plan else None
+        build_plan_stack(pos_stack, N=N, m=m, sigma=sigma, T=T) if plan else None
     )
     return StreamedLayout(jnp.asarray(pos_stack), counts, plans, N, m, sigma)
 

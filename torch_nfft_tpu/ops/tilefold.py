@@ -63,18 +63,20 @@ def fold_geometry_ok(plan) -> bool:
 
 
 def use_fold(
-    plan, C: int, itemsize: int, batch_size: int, budget: int = 6 << 30
+    plan, C: int, itemsize: int, batch_size: int, budget: int = 6 << 30,
+    compact: bool = False,
 ) -> bool:
     """Whether the dense tile array (NT, C*H^dim) fits the memory budget.
 
     The dense array costs ``(H/T)^dim`` times the grid itself (~3.8x at the
-    3D m=4 default); above the budget the caller keeps the windowed
-    scatter/gather fallback.
+    3D m=4 default) — or only the active slab's share when ``compact``;
+    above the budget the caller keeps the windowed scatter/gather fallback.
     """
     if not fold_geometry_ok(plan):
         return False
-    nb = plan.M // plan.T
-    nt = batch_size * nb**plan.dim
+    nt = batch_size
+    for _, a in active_axes(plan, compact):
+        nt *= a
     f = C * plan.H**plan.dim
     return nt * f * itemsize <= budget
 
@@ -95,6 +97,15 @@ def compact_cells(plan) -> tuple | None:
         return None
     T = plan.T
     return tuple((s * T, a * T) for (s, a) in plan.active)
+
+
+def tile_array_bytes(plan, C: int, itemsize: int, batch_size: int,
+                     compact: bool = False) -> int:
+    """Size of the dense tile array (NT, C*H^dim) the fold paths materialize."""
+    nt = batch_size * 1
+    for _, a in active_axes(plan, compact):
+        nt *= a
+    return nt * C * plan.H**plan.dim * itemsize
 
 
 def row_tile_ids(plan, compact: bool = False) -> jax.Array:
