@@ -62,9 +62,13 @@ def main():
     print(f"plan: {time.perf_counter()-t0:.2f}s rows={plan.slot_pt.shape[0]} "
           f"K={plan.K} active={plan.active}", flush=True)
 
-    spread_j = jax.jit(lambda x, p: spread_binned_dft(plan, x, p, batch_size=1, compact=ca))
-    t_spread = timeit(spread_j, x, pos)
-    g = spread_j(x, pos)
+    # plan passed as an ARGUMENT: closing over it would bake its arrays
+    # into the jaxpr as constants (shipped with every tunnel compile request)
+    spread_j = jax.jit(
+        lambda pl_, x, p: spread_binned_dft(pl_, x, p, batch_size=1, compact=ca)
+    )
+    t_spread = timeit(spread_j, plan, x, pos)
+    g = spread_j(plan, x, pos)
     print(f"spread_dft:  {t_spread*1e3:8.1f} ms  out={g.shape}", flush=True)
 
     adj_j = jax.jit(lambda g: spectral_adjoint_pruned_dft(g, None, dim, N, m, 2.0, M=M, cells=cells)[0])
@@ -79,8 +83,8 @@ def main():
     g2 = fwd_j(yr, yi)
     print(f"fwd_dft:     {t_fwd*1e3:8.1f} ms  out={g2.shape}", flush=True)
 
-    gath_j = jax.jit(lambda g, p: gather_binned_dft(plan, g, p, compact=ca))
-    t_gath = timeit(gath_j, g2, pos)
+    gath_j = jax.jit(lambda pl_, g, p: gather_binned_dft(pl_, g, p, compact=ca))
+    t_gath = timeit(gath_j, plan, g2, pos)
     print(f"gather_dft:  {t_gath*1e3:8.1f} ms", flush=True)
 
     total = t_spread + t_adj + t_fwd + t_gath
@@ -98,9 +102,9 @@ def main():
             row_tile_ids,
         )
 
-        tiles_j = jax.jit(lambda x, p: spread_tiles_pallas(plan, x, p, C=1))
-        print(f"  tiles_pallas: {timeit(tiles_j, x, pos)*1e3:8.1f} ms", flush=True)
-        tiles = tiles_j(x, pos)
+        tiles_j = jax.jit(lambda pl_, x, p: spread_tiles_pallas(pl_, x, p, C=1))
+        print(f"  tiles_pallas: {timeit(tiles_j, plan, x, pos)*1e3:8.1f} ms", flush=True)
+        tiles = tiles_j(plan, x, pos)
         S = tiles.shape[0]
         F = plan.H**3
 
@@ -116,20 +120,27 @@ def main():
                 .add(t.reshape(S, F), mode="drop", indices_are_sorted=True)
             )
 
-        scat_j = jax.jit(scat)
-        print(f"  tile_scatter: {timeit(scat_j, tiles)*1e3:8.1f} ms", flush=True)
-        acc = scat_j(tiles)
-        fold_j = jax.jit(lambda a: fold_tiles_to_grid_dft(a, plan, 1, 1, ca))
-        print(f"  fold_dft:     {timeit(fold_j, acc)*1e3:8.1f} ms", flush=True)
-        unf_j = jax.jit(lambda g: unfold_grid_to_tiles_dft(g, plan, 1, ca))
-        print(f"  unfold_dft:   {timeit(unf_j, g2)*1e3:8.1f} ms", flush=True)
-        td = unf_j(g2)
+        def scat2(pl_, t):
+            return (
+                jnp.zeros((NT, F), jnp.float32)
+                .at[row_tile_ids(pl_, ca)]
+                .add(t.reshape(S, F), mode="drop")
+            )
+
+        scat_j = jax.jit(scat2)
+        print(f"  tile_scatter: {timeit(scat_j, plan, tiles)*1e3:8.1f} ms", flush=True)
+        acc = scat_j(plan, tiles)
+        fold_j = jax.jit(lambda pl_, a: fold_tiles_to_grid_dft(a, pl_, 1, 1, ca))
+        print(f"  fold_dft:     {timeit(fold_j, plan, acc)*1e3:8.1f} ms", flush=True)
+        unf_j = jax.jit(lambda pl_, g: unfold_grid_to_tiles_dft(g, pl_, 1, ca))
+        print(f"  unfold_dft:   {timeit(unf_j, plan, g2)*1e3:8.1f} ms", flush=True)
+        td = unf_j(plan, g2)
         gp_j = jax.jit(
-            lambda t, p: gather_points_pallas(
-                plan, t, p, C=1, tile_index=row_tile_ids(plan, ca)
+            lambda pl_, t, p: gather_points_pallas(
+                pl_, t, p, C=1, tile_index=row_tile_ids(pl_, ca)
             )
         )
-        print(f"  gather_pts:   {timeit(gp_j, td, pos)*1e3:8.1f} ms", flush=True)
+        print(f"  gather_pts:   {timeit(gp_j, plan, td, pos)*1e3:8.1f} ms", flush=True)
 
     if os.environ.get("PROFILE_XLA_PATH"):
         from torch_nfft_tpu.ops import binned as _b
