@@ -109,7 +109,8 @@ def main():
             x, pos, batch, plan, batch_size=1, N=N, m=m, strategy=strategy
         )
         zr, _ = nfft_forward_planar(
-            yr, yi, pos, batch, plan, batch_size=1, dim=dim, m=m, strategy=strategy
+            yr, yi, pos, batch, plan, batch_size=1, dim=dim, m=m,
+            strategy=strategy, real_output=True,
         )
         # scalar so timing can force a host read (lazy backends make
         # block_until_ready unreliable)

@@ -102,7 +102,8 @@ def main():
                     N=N, m=m,
                 )
                 zr, _ = nfft_forward_planar(
-                    yr, yi, posj, batchj, plan, batch_size=Gm, dim=dim, m=m
+                    yr, yi, posj, batchj, plan, batch_size=Gm, dim=dim, m=m,
+                    real_output=True,
                 )
                 acc += float(jnp.sum(zr))
         return acc

@@ -54,6 +54,53 @@ def test_forward_planar_matches_complex(rng, dim, N):
     np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("dim,N", [(1, 16), (2, 16), (3, 8)])
+def test_forward_planar_real_output_bitwise(rng, dim, N):
+    """real_output=True must return yr bit-identical to the two-plane run:
+    the gather never mixes planes, so skipping the imaginary one is exact."""
+    n, m, B, C = 60, 3, 2, 3
+    pos, batch = _points(rng, n, dim, B)
+    xr = rng.standard_normal((B,) + (N,) * dim + (C,)).astype(np.float32)
+    xi = rng.standard_normal((B,) + (N,) * dim + (C,)).astype(np.float32)
+    args = (jnp.asarray(pos), jnp.asarray(batch))
+    full_r, full_i = nfft_forward_planar(
+        jnp.asarray(xr), jnp.asarray(xi), *args, batch_size=B, dim=dim, m=m
+    )
+    only_r, none_i = nfft_forward_planar(
+        jnp.asarray(xr), jnp.asarray(xi), *args, batch_size=B, dim=dim, m=m,
+        real_output=True,
+    )
+    assert none_i is None
+    # single- vs two-plane gathers batch their reductions differently, so
+    # parity is numerical (~1e-6 f32 jitter), not bitwise
+    np.testing.assert_allclose(
+        np.asarray(only_r), np.asarray(full_r), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_forward_planar_real_output_with_plan(rng):
+    """Same bitwise-parity check through the binned-plan fold route."""
+    from torch_nfft_tpu.ops.binned import build_plan
+
+    n, N, m, B, dim = 5000, 16, 4, 1, 2
+    pos, batch = _points(rng, n, dim, B)
+    plan = build_plan(pos, batch, N=N, m=m, batch_size=B)
+    xr = rng.standard_normal((B,) + (N,) * dim + (2,)).astype(np.float32)
+    xi = rng.standard_normal((B,) + (N,) * dim + (2,)).astype(np.float32)
+    args = (jnp.asarray(pos), jnp.asarray(batch), plan)
+    full_r, _ = nfft_forward_planar(
+        jnp.asarray(xr), jnp.asarray(xi), *args, batch_size=B, dim=dim, m=m
+    )
+    only_r, none_i = nfft_forward_planar(
+        jnp.asarray(xr), jnp.asarray(xi), *args, batch_size=B, dim=dim, m=m,
+        real_output=True,
+    )
+    assert none_i is None
+    np.testing.assert_allclose(
+        np.asarray(only_r), np.asarray(full_r), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_fastsum_real_matches_complex(rng):
     n, N, m, B, C, dim = 64, 8, 3, 2, 2, 2
     pos, batch = _points(rng, n, dim, B)

@@ -307,13 +307,20 @@ def spectral_adjoint_pruned_dft(gr, gi, dim: int, N: int, m: int, sigma: float,
 
 
 def spectral_forward_pruned_dft(xr, xi, dim: int, M: int, m: int, sigma: float,
-                                cells=None):
+                                cells=None, real_only: bool = False):
     """Standard centered spectrum (B, (N,)*dim, C) -> DFT-layout grid
     (B, L_1, ..., L_{dim-1}, C, L_0). Mirror of
     :func:`spectral_adjoint_pruned_dft`; the input permutation happens on the
     small N^dim array, the contractions grow it axis by axis. With ``cells``
     the output covers only each axis's active slab — exact as long as the
     consumer (the gather) only reads slab cells, which the plan guarantees.
+
+    ``real_only=True`` computes just the REAL plane of the grid (returns
+    (gr, None)): the last axis contraction drops the two matmuls feeding the
+    imaginary plane. Exact for real-output forward transforms, where the
+    gather (a real-weighted map) of the imaginary plane would be discarded
+    anyway (reference real-output forward kernel,
+    spatial_window_operations.cu:214-332 real variant).
     """
     N = xr.shape[1]
     spec = _cells_spec(dim, M, cells)
@@ -329,7 +336,15 @@ def spectral_forward_pruned_dft(xr, xi, dim: int, M: int, m: int, sigma: float,
     perm = [0] + list(range(2, dim + 2)) + [1]
     xr = xr.transpose(perm)
     xi = None if xi is None else xi.transpose(perm)
-    xr, xi = _axis_contract_planar(xr, xi, *mats(0), xr.ndim - 1)  # N0 -> L0
-    for d in range(1, dim):
-        xr, xi = _axis_contract_planar(xr, xi, *mats(d), d)
+    order = [xr.ndim - 1] + list(range(1, dim))  # axis 0 (minor) first
+    for i, ax in enumerate(order):
+        d = 0 if i == 0 else i
+        mr, mi = mats(d)
+        if real_only and i == len(order) - 1:
+            # real plane only: Re((xr + i xi)(mr + i mi)) = xr mr - xi mi
+            rr = _axis_contract(xr, mr, ax)
+            if xi is not None:
+                rr = rr - _axis_contract(xi, mi, ax)
+            return rr, None
+        xr, xi = _axis_contract_planar(xr, xi, mr, mi, ax)
     return xr, xi

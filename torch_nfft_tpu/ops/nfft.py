@@ -429,6 +429,7 @@ def nfft_forward(
             m=m,
             sigma=float(sigma),
             strategy=strategy,
+            real_output=True,
         )
         return yr.reshape((pos.shape[0],) + trailing)
 

@@ -50,18 +50,19 @@ __all__ = [
 DEFAULT_SIGMA = 2.0
 
 
-def _dft_route(plan, C: int, batch_size: int):
+def _dft_route(plan, C: int, batch_size: int, itemsize: int = 4):
     """(use_plan, cells) for one half of a DFT-layout pipeline: whether the
     fold engine carries the grid, and — if the plan has an active slab — the
     per-axis (offset, length) spec the pruned DFT matrices must match. The
     spread/gather side and the DFT side MUST share this decision: a compact
     grid is only meaningful to matrices built with the same cells. The
     memory budget is judged on the array the route would actually build —
-    the compact slab when the plan has one."""
+    the compact slab when the plan has one, sized with the actual dtype's
+    ``itemsize`` (the execute paths size their chunks from it too)."""
     if plan is None:
         return False, None
     cells = compact_cells(plan)
-    if not use_fold(plan, C, 4, batch_size, compact=cells is not None):
+    if not use_fold(plan, C, itemsize, batch_size, compact=cells is not None):
         return False, None
     return True, cells
 
@@ -128,7 +129,9 @@ def nfft_adjoint_planar(
         # (the plan's active slab when it has one), then the pruned
         # band-limited DFT (FFT + crop + rolloff fused into dim MXU
         # matmuls) — no grid-sized transposes anywhere.
-        use_plan, cells = _dft_route(plan, C, batch_size)
+        use_plan, cells = _dft_route(
+            plan, C, batch_size, jnp.dtype(x.dtype).itemsize
+        )
         with jax.named_scope("nfft_spread"):
             g_dft = _spread_dft(
                 x, pos, batch, plan, batch_size, N, m, sigma, strategy, dim,
@@ -154,7 +157,7 @@ def nfft_adjoint_planar(
 
 @partial(
     jax.jit,
-    static_argnames=("batch_size", "dim", "m", "sigma", "strategy"),
+    static_argnames=("batch_size", "dim", "m", "sigma", "strategy", "real_output"),
 )
 def nfft_forward_planar(
     xr,
@@ -168,33 +171,44 @@ def nfft_forward_planar(
     m,
     sigma=DEFAULT_SIGMA,
     strategy="auto",
+    real_output=False,
 ):
     """Forward NFFT of a planar spectrum, planar output.
 
     xr/xi: (batch_size, (N,)*dim, C) real planes (xi may be None).
-    Returns (yr, yi) each (n, C).
+    Returns (yr, yi) each (n, C). With ``real_output=True`` only the real
+    plane is computed and gathered — the imaginary grid plane (whose gather
+    a real-output caller would discard) is never materialized — and the
+    return is (yr, None). yr is identical either way: the gather is a
+    real-weighted linear map, so the planes never mix.
     """
     N = xr.shape[1]
     M = int(round(sigma * N))
     C = xr.shape[-1]
 
     if M <= PRUNED_MAX:
-        use_plan2, cells2 = _dft_route(plan, 2 * C, batch_size)
-        use_plan1, cells1 = _dft_route(plan, C, batch_size)
+        itemsize = jnp.dtype(xr.dtype).itemsize
+        use_plan2, cells2 = _dft_route(plan, 2 * C, batch_size, itemsize)
+        use_plan1, cells1 = _dft_route(plan, C, batch_size, itemsize)
         # Prefer one gather with both planes on the column axis; gather the
         # planes separately (columns are independent signals) when only the
         # single-plane tile array fits the fold budget, or when the 2-plane
         # array is large enough that its unfold transients threaten HBM.
-        split_planes = use_plan1 and (
-            not use_plan2
-            or tile_array_bytes(
-                plan, 2 * C, 4, batch_size, compact_cells(plan) is not None
-            ) > (3 << 29)
+        # Real output always takes the single-plane route.
+        split_planes = real_output or (
+            use_plan1
+            and (
+                not use_plan2
+                or tile_array_bytes(
+                    plan, 2 * C, itemsize, batch_size,
+                    compact_cells(plan) is not None,
+                ) > (3 << 29)
+            )
         )
         use_plan, cells = (use_plan1, cells1) if split_planes else (use_plan2, cells2)
         with jax.named_scope("nfft_rolloff_fft"):
             gr_dft, gi_dft = spectral_forward_pruned_dft(
-                xr, xi, dim, M, m, sigma, cells=cells
+                xr, xi, dim, M, m, sigma, cells=cells, real_only=real_output
             )
         with jax.named_scope("nfft_gather"):
             if split_planes:
@@ -202,6 +216,8 @@ def nfft_forward_planar(
                     gr_dft, pos, batch, plan, batch_size, N, m, sigma,
                     strategy, use_plan,
                 )
+                if real_output:
+                    return yr, None
                 yi = _gather_dft(
                     gi_dft, pos, batch, plan, batch_size, N, m, sigma,
                     strategy, use_plan,
@@ -229,6 +245,12 @@ def nfft_forward_planar(
         gr, gi = fftn_planar(wr, wi, axes=tuple(range(1, dim + 1)), sign=-1)
 
     with jax.named_scope("nfft_gather"):
+        if real_output:
+            yr = gather(
+                gr.reshape(batch_size * M**dim, C), pos, batch, batch_size,
+                N, m, sigma, strategy, plan=plan,
+            )
+            return yr, None
         # Planes ride the column axis through one gather call.
         g2 = jnp.concatenate(
             [gr.reshape(batch_size * M**dim, C), gi.reshape(batch_size * M**dim, C)],
@@ -278,8 +300,9 @@ def nfft_fastsum_real(
         # The source and target halves may use different plans (and thus
         # different active slabs); the N^dim mid-spectrum is slab-independent,
         # so each half simply carries its own cells spec.
-        use_s, cells_s = _dft_route(source_plan, C, batch_size)
-        use_t, cells_t = _dft_route(target_plan, C, batch_size)
+        itemsize = jnp.dtype(x.dtype).itemsize
+        use_s, cells_s = _dft_route(source_plan, C, batch_size, itemsize)
+        use_t, cells_t = _dft_route(target_plan, C, batch_size, itemsize)
         with jax.named_scope("fastsum_spread"):
             g_dft = _spread_dft(
                 x, sources, source_batch, source_plan,
@@ -294,8 +317,10 @@ def nfft_fastsum_real(
             sr = sr * cf
             si = si * cf
         with jax.named_scope("fastsum_fft_forward"):
-            gr_dft, gi_dft = spectral_forward_pruned_dft(
-                sr, si, dim, M, m, sigma, cells=cells_t
+            # real_only: the output is real, so the imaginary grid plane
+            # (whose gather would be discarded below) is never built.
+            gr_dft, _ = spectral_forward_pruned_dft(
+                sr, si, dim, M, m, sigma, cells=cells_t, real_only=True
             )
         with jax.named_scope("fastsum_gather"):
             # Only the real plane matters for the (real) output.

@@ -401,9 +401,20 @@ def spectral_adjoint_pruned_dft_sharded(
     (B, (N,)*dim, C) after one psum per plane. ``cells`` as in
     ops/fft.py:spectral_adjoint_pruned_dft (the sharded axis's spec refers
     to the full axis; each chip slices its row block by axis_index).
+
+    Preconditions: ``dim >= 2`` (grid sharding targets multi-axis grids —
+    there is no M_1 axis at dim 1) and the sharded axis length must divide
+    evenly into equal per-chip row blocks (each chip slices its block at
+    ``axis_index * local_len``; a remainder would leave trailing rows of the
+    full-axis matrix uncontracted).
     """
     from ..ops.fft import _cells_spec, _pruned_mats_np
 
+    if dim < 2:
+        raise ValueError(
+            f"grid-sharded spectral transforms need dim >= 2 (got dim={dim}):"
+            " they shard the grid's M_1 axis, which a 1D grid does not have"
+        )
     spec = _cells_spec(dim, M, cells)
 
     def mats_for(d):
@@ -431,6 +442,12 @@ def spectral_adjoint_pruned_dft_sharded(
     # then one psum completes the sum over grid cells.
     mr1_full, mi1_full = mats_for(1)
     L1_loc = gr.shape[1]
+    if mr1_full.shape[0] % L1_loc:
+        raise ValueError(
+            f"local slab rows {L1_loc} do not evenly divide the full sharded "
+            f"axis length {mr1_full.shape[0]} — equal per-chip row blocks are "
+            "required (a remainder would drop trailing grid rows)"
+        )
     idx = jax.lax.axis_index(axis_name)
     mr1 = jax.lax.dynamic_slice_in_dim(mr1_full, idx * L1_loc, L1_loc, 0)
     mi1 = jax.lax.dynamic_slice_in_dim(mi1_full, idx * L1_loc, L1_loc, 0)
@@ -451,9 +468,17 @@ def spectral_forward_pruned_dft_sharded(
     LOCAL slab (B, L1/P, ..., C, L0) of the DFT-layout grid for this chip's
     block of the M_1 axis — fully local, zero collectives (every output
     cell depends only on the replicated spectrum).
+
+    Preconditions: ``dim >= 2`` and ``L1 % n_shards == 0`` (see
+    :func:`spectral_adjoint_pruned_dft_sharded`).
     """
     from ..ops.fft import _cells_spec, _pruned_mats_np
 
+    if dim < 2:
+        raise ValueError(
+            f"grid-sharded spectral transforms need dim >= 2 (got dim={dim}):"
+            " they shard the grid's M_1 axis, which a 1D grid does not have"
+        )
     N = xr.shape[1]
     spec = _cells_spec(dim, M, cells)
 
@@ -484,6 +509,12 @@ def spectral_forward_pruned_dft_sharded(
     # sharded M1 axis: slice this chip's COLUMN block of the (N, L1) matrix
     mr1_full, mi1_full = mats_for(1)
     L1 = mr1_full.shape[1]
+    if L1 % n_shards:
+        raise ValueError(
+            f"sharded grid axis length L1={L1} is not divisible by "
+            f"n_shards={n_shards} — equal per-chip row blocks are required "
+            "(a remainder would silently truncate the grid)"
+        )
     L1_loc = L1 // n_shards
     idx = jax.lax.axis_index(axis_name)
     mr1 = jax.lax.dynamic_slice_in_dim(mr1_full, idx * L1_loc, L1_loc, 1)
