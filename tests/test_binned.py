@@ -130,6 +130,55 @@ def test_pallas_kernels_interpret(rng):
     np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("dim,N,m,B", [(3, 16, 4, 1), (2, 32, 3, 2)])
+def test_build_plan_device_matches_host(rng, dim, N, m, B):
+    """Device-built plans must execute identically to host-built ones."""
+    from torch_nfft_tpu.ops.binned import (
+        build_plan,
+        build_plan_device,
+        gather_binned_dft,
+        spread_binned_dft,
+    )
+
+    n = 4000
+    pos, batch = _points(rng, n, dim, B)
+    x = rng.standard_normal((n, 2)).astype(np.float32)
+    ph = build_plan(pos, batch, N=N, m=m, batch_size=B)
+    pd = build_plan_device(pos, batch, N=N, m=m, batch_size=B)
+    assert (ph.T, ph.K, ph.active) == (pd.T, pd.K, pd.active)
+    assert ph.slot_pt.shape == pd.slot_pt.shape
+    assert pd.pos_fp is None and pd.order is None
+
+    gh = spread_binned_dft(ph, jnp.asarray(x), jnp.asarray(pos), batch_size=B)
+    gd = spread_binned_dft(pd, jnp.asarray(x), jnp.asarray(pos), batch_size=B)
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(gh), rtol=1e-5, atol=1e-5)
+    yh = gather_binned_dft(ph, gh, jnp.asarray(pos))
+    yd = gather_binned_dft(pd, gh, jnp.asarray(pos))
+    np.testing.assert_allclose(np.asarray(yd), np.asarray(yh), rtol=1e-5, atol=1e-5)
+
+
+def test_dense_spread_pallas_padded_rows(rng):
+    """In-kernel dense accumulation with PADDED rows (row_count == 0) in the
+    plan: padded rows must contribute nothing and never corrupt a flushed
+    tile block (they are repointed at their predecessor's tile)."""
+    from torch_nfft_tpu.ops.binned import (
+        _spread_dft_pallas,
+        _spread_dft_xla,
+        build_plan,
+    )
+    from torch_nfft_tpu.ops.plan_stack import pad_plan_rows
+
+    n, dim, N, m, B, C = 300, 3, 8, 3, 1, 2
+    pos, batch = _points(rng, n, dim, B)
+    plan = build_plan(pos, batch, N=N, m=m, batch_size=B, K=128)
+    padded = pad_plan_rows(plan, plan.slot_pt.shape[0] + 5)
+    x = rng.standard_normal((n, C)).astype(np.float32)
+
+    g_p = _spread_dft_pallas(padded, jnp.asarray(x), jnp.asarray(pos), B)
+    g_x = _spread_dft_xla(padded, jnp.asarray(x), jnp.asarray(pos), B)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=1e-5, atol=1e-5)
+
+
 def test_plan_mismatch_rejected(rng):
     import pytest as _pytest
 

@@ -26,7 +26,7 @@ from .ops.ndft import (
     ndft_fastsum,
     ndft_forward,
 )
-from .ops.binned import BinnedPlan, build_plan
+from .ops.binned import BinnedPlan, build_plan, build_plan_device
 from .ops.nfft import clear_plan_cache, nfft_adjoint, nfft_fastsum, nfft_forward
 from .ops.planar import (
     nfft_adjoint_planar,
@@ -57,6 +57,7 @@ __all__ = [
     "nfft_fastsum",
     "BinnedPlan",
     "build_plan",
+    "build_plan_device",
     "clear_plan_cache",
     "nfft_adjoint_planar",
     "nfft_forward_planar",

@@ -60,6 +60,7 @@ from .window import window_inv_b, window_inv_sqrt_b_pi
 __all__ = [
     "BinnedPlan",
     "build_plan",
+    "build_plan_device",
     "spread_binned",
     "gather_binned",
     "spread_binned_dft",
@@ -402,6 +403,178 @@ def build_plan(
     )
 
 
+# ---------------------------------------------------------------------------
+# Device-side plan construction: every O(n) step (bin ids, argsort, slot
+# gathers, permutation inverse) runs on the device; the host round-trips only
+# the per-bin histogram (~batch_size*nb^dim int32) and lays out the O(S) row
+# tables. On tunnel-attached TPUs this avoids shipping the ~8B/point slot
+# tables over the host link (tens of seconds at 16M points).
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("M", "m", "t", "nb", "nbins", "dim"))
+def _sorted_bins_device(pos, batch, *, M, m, t, nb, nbins, dim):
+    """(order, counts): stable argsort of the per-point bin ids and the dense
+    per-bin histogram (via two searchsorted sweeps on the sorted keys)."""
+    s_mod = (jnp.floor(pos * M).astype(jnp.int32) - m) % M
+    b = s_mod // t
+    bid = batch.astype(jnp.int32)
+    for d in range(dim):
+        bid = bid * nb + b[:, d]
+    order = jnp.argsort(bid, stable=True).astype(jnp.int32)
+    sorted_bid = jnp.take(bid, order)
+    edges = jnp.searchsorted(
+        sorted_bid, jnp.arange(nbins + 1, dtype=jnp.int32), side="left"
+    )
+    return order, jnp.diff(edges).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("K", "n"))
+def _assemble_plan_device(order, row_start, pos, *, K, n):
+    """Device slot tables from the sorted order and host row layout:
+    slot_pt (S, K), slot_pos (dim, S*K), inv_slot (n,)."""
+    S = row_start.shape[0]
+    k_ar = jnp.arange(K, dtype=jnp.int32)[None, :]
+    gidx = jnp.minimum(row_start[:, None] + k_ar, n - 1)
+    slot_pt = jnp.take(order, gidx.reshape(-1)).reshape(S, K)
+    slot_pos = jnp.take(pos, slot_pt.reshape(-1), axis=0).T
+    # rows partition the sorted order contiguously (row_start ascending), so
+    # sorted position j belongs to row searchsorted(row_start, j, right) - 1
+    j = jnp.arange(n, dtype=jnp.int32)
+    row_of_j = (
+        jnp.searchsorted(row_start, j, side="right").astype(jnp.int32) - 1
+    )
+    slot_flat = row_of_j * K + (j - jnp.take(row_start, row_of_j))
+    inv_slot = (
+        jnp.zeros((n,), jnp.int32).at[order].set(slot_flat, unique_indices=True)
+    )
+    return slot_pt, slot_pos, inv_slot
+
+
+def _pick_K_cap(mean_occ: float) -> int:
+    """Row capacity from mean bin occupancy, capped at the Pallas lane chunk
+    (see build_plan's _pick_K)."""
+    return int(min(1024, max(8, _next_pow2(math.ceil(mean_occ)))))
+
+
+def build_plan_device(
+    pos,
+    batch=None,
+    *,
+    N: int,
+    m: int,
+    sigma: float = 2.0,
+    batch_size: int | None = None,
+    T: int | None = None,
+    K: int | None = None,
+) -> BinnedPlan:
+    """:func:`build_plan` with all O(n) work on the DEVICE.
+
+    Produces a functionally identical plan (up to within-bin point order,
+    which every transform is invariant to). Device plans carry
+    ``pos_fp=None`` (the fingerprint is a host-side integrity feature) and no
+    host ``order``/``row_start`` copies. Prefer this builder when the
+    positions already live on the device or the host link is slow; the host
+    builder remains the right choice for NumPy positions on well-attached
+    hosts (its native counting sort is O(n) vs the device's O(n log n)).
+    """
+    pos = jnp.asarray(pos)
+    if pos.dtype != jnp.float32:
+        pos = pos.astype(jnp.float32)  # device binning must match execution
+    n, dim = pos.shape
+    if batch is None:
+        batch_dev = jnp.zeros((n,), jnp.int32)
+        batch_size = 1 if batch_size is None else int(batch_size)
+    else:
+        batch_dev = jnp.asarray(batch, jnp.int32)
+        if batch_size is None:
+            batch_size = int(batch_dev[-1]) + 1  # one scalar device read
+    M = int(round(sigma * N))
+
+    def histogram(t):
+        nb = -(-M // t)
+        nbins = batch_size * nb**dim
+        if nbins >= 1 << 31:
+            raise ValueError(
+                f"bin-id space {nbins} overflows int32 — use build_plan"
+            )
+        order, counts = _sorted_bins_device(
+            pos, batch_dev, M=M, m=m, t=t, nb=nb, nbins=nbins, dim=dim
+        )
+        return order, counts, nb
+
+    if T is None:
+        T = default_tile(dim, m, M)
+        if T == 16 and dim == 3 and M % 32 == 0 and M > 32:
+            # same density probe as build_plan, from the T=16 histogram
+            order, counts, nb = histogram(16)
+            counts_np = np.asarray(counts)
+            occupied = int((counts_np > 0).sum())
+            if n / max(1, occupied) < 64:
+                T = 32
+            if T == 16:
+                return _finish_plan_device(
+                    pos, order, counts_np, n, dim, N, m, sigma, 16, nb, K,
+                    batch_size,
+                )
+    T = min(T, M)
+    order, counts, nb = histogram(T)
+    return _finish_plan_device(
+        pos, order, np.asarray(counts), n, dim, N, m, sigma, T, nb, K,
+        batch_size,
+    )
+
+
+def _finish_plan_device(
+    pos, order, counts_np, n, dim, N, m, sigma, T, nb, K, batch_size
+) -> BinnedPlan:
+    """Host O(S) row layout from the histogram + device slot assembly."""
+    M = int(round(sigma * N))
+    uniq = np.flatnonzero(counts_np)
+    cnt = counts_np[uniq].astype(np.int64)
+    if K is None:
+        mean_occ = float(cnt.mean()) if cnt.size else 1.0
+        K = _pick_K_cap(mean_occ)
+    rows_per_bin = -(-cnt // K)
+    S = int(rows_per_bin.sum())
+    row_bin = np.repeat(np.arange(len(uniq)), rows_per_bin)
+    row_rank = np.arange(S) - np.repeat(
+        np.concatenate([[0], np.cumsum(rows_per_bin)[:-1]]), rows_per_bin
+    )
+    start_idx = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    row_start = (start_idx[row_bin] + row_rank * K).astype(np.int32)
+    row_count = np.minimum(cnt[row_bin] - row_rank * K, K).astype(np.int32)
+
+    bid = uniq[row_bin]
+    origin = np.empty((S, dim), np.int32)
+    for d in range(dim - 1, -1, -1):
+        origin[:, d] = (bid % nb) * T
+        bid = bid // nb
+    row_batch = bid.astype(np.int32)
+
+    slot_pt, slot_pos, inv_slot = _assemble_plan_device(
+        order, jnp.asarray(row_start), pos, K=int(K), n=n
+    )
+    return BinnedPlan(
+        slot_pt=slot_pt,
+        slot_pos=slot_pos,
+        origin=jnp.asarray(origin),
+        row_batch=jnp.asarray(row_batch),
+        inv_slot=inv_slot,
+        row_count=jnp.asarray(row_count),
+        n=n,
+        dim=dim,
+        N=N,
+        m=m,
+        sigma=float(sigma),
+        T=int(T),
+        K=int(K),
+        batch_size=int(batch_size),
+        pos_fp=None,
+        active=_active_runs(origin, T, M, dim) if M % T == 0 else None,
+    )
+
+
 def _row_windows(plan: BinnedPlan, pos_s, origin):
     """Per-axis window matrices A_d: (R, K, H) for a chunk of rows.
 
@@ -648,18 +821,26 @@ def _tile_chunk_rows(S: int, H: int, dim: int, C: int) -> int:
 
 
 def _dense_tiles_pallas(plan: BinnedPlan, x, pos, batch_size: int, compact=False):
-    """Fused Pallas per-row tiles accumulated into the dense (NT, F) array."""
-    from .pallas.contract import spread_tiles_pallas
+    """Fused Pallas tiles accumulated IN-KERNEL into the dense (NT, F) array
+    (no separate scatter pass; untouched tiles stay zero via aliasing)."""
+    from .pallas.contract import spread_tiles_dense_pallas
 
-    dim, H, M, C = plan.dim, plan.H, plan.M, x.shape[1]
-    tiles = spread_tiles_pallas(plan, x.astype(jnp.float32), pos, C=C)
-    tiles = tiles.astype(x.dtype)  # (S, C, H, H^{dim-1})
-    S = tiles.shape[0]
+    dim, H, C = plan.dim, plan.H, x.shape[1]
     NT = batch_size * math.prod(a for _, a in active_axes(plan, compact))
-    F = C * H**dim
-    return jnp.zeros((NT, F), dtype=x.dtype).at[row_tile_ids(plan, compact)].add(
-        tiles.reshape(S, F), mode="drop"
+    S = plan.slot_pt.shape[0]
+    tid = row_tile_ids(plan, compact)
+    # Padded rows (row_count == 0, e.g. from plan_stack.pad_plan_rows) must
+    # not re-open an already-flushed tile block: repoint each at the nearest
+    # PRECEDING real row's tile — they contribute exact zeros to it.
+    valid = plan.row_count > 0
+    prev_valid = jax.lax.cummax(
+        jnp.where(valid, jnp.arange(S, dtype=jnp.int32), 0)
     )
+    tid = jnp.take(tid, prev_valid)
+    acc4 = spread_tiles_dense_pallas(
+        plan, x.astype(jnp.float32), pos, C=C, tile_index=tid, NT=NT
+    )
+    return acc4.reshape(NT, C * H**dim).astype(x.dtype)
 
 
 def _spread_pallas(plan: BinnedPlan, x, pos, batch_size: int):

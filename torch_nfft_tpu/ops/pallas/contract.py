@@ -36,7 +36,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..window import window_inv_b, window_inv_sqrt_b_pi
 
-__all__ = ["spread_tiles_pallas", "gather_points_pallas", "pallas_supported"]
+__all__ = [
+    "spread_tiles_pallas",
+    "spread_tiles_dense_pallas",
+    "gather_points_pallas",
+    "pallas_supported",
+]
 
 _KC = 1024  # lane chunk per inner iteration (VMEM bound)
 
@@ -162,6 +167,130 @@ def _spread_kernel(
             )
     for c in range(C):
         tile_ref[0, c] = accs[c]
+
+
+def _spread_dense_kernel(
+    row_count_ref,  # scalar prefetch (S,)
+    org0_ref,
+    org1_ref,
+    org2_ref,
+    tile_id_ref,  # scalar prefetch (S,): dense tile id per row — drives the
+    # output index map AND the first-row-of-tile detection
+    data_ref,  # (F, K) block: rows [0:C]=x columns, [C:C+dim]=coords
+    zeros_ref,  # aliased (NT, C, H, H^{dim-1}) zeros; never read (ANY space)
+    tile_ref,  # (1, C, H, H^{dim-1}) block of the DENSE tile array
+    *,
+    K,
+    C,
+    H,
+    M,
+    m,
+    inv_b,
+    amp,
+    dim,
+):
+    """Spread with IN-KERNEL dense-tile accumulation: consecutive rows of one
+    tile accumulate in the VMEM-resident output block (Mosaic only flushes an
+    output block when its index map changes), so the separate (S,F)->(NT,F)
+    scatter pass — and one full HBM round trip of the per-row tile tensor —
+    disappears. Tiles with no rows keep the zeros of the aliased input.
+    Requires ``tile_id`` runs to be grouped (plan rows are sorted by
+    (batch, tile), so they are).
+    """
+    s = pl.program_id(0)
+    count = row_count_ref[s]
+    n_chunks, KC = _chunks(K)
+
+    accs = [jnp.zeros((H, H ** (dim - 1)), jnp.float32) for _ in range(C)]
+    for j in range(n_chunks):
+        sl = j * KC
+        kmask = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, KC), 1) + sl < count
+        ).astype(jnp.float32)
+        orgs = (org0_ref[s], org1_ref[s], org2_ref[s])[:dim]
+        A = _windows_fused(
+            data_ref[C : C + dim, pl.ds(sl, KC)],
+            orgs, M, m, H, inv_b, amp,
+        )
+        for c in range(C):
+            xw = data_ref[c : c + 1, pl.ds(sl, KC)] * kmask  # (1, KC)
+            if dim == 2:
+                t2 = A[1] * xw  # (H, KC)
+            else:
+                t2 = _khatri_rao(A[1], A[2] * xw, H)
+            accs[c] = accs[c] + jax.lax.dot_general(
+                A[0],
+                t2,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+    prev = tile_id_ref[jnp.maximum(s - 1, 0)]
+    first = (s == 0) | (tile_id_ref[s] != prev)
+
+    @pl.when(first)
+    def _():
+        for c in range(C):
+            tile_ref[0, c] = accs[c]
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        for c in range(C):
+            tile_ref[0, c] = tile_ref[0, c] + accs[c]
+
+
+def spread_tiles_dense_pallas(plan, x, pos, *, C, tile_index, NT):
+    """Fused spread contraction straight into the dense tile array:
+    (n, C) points -> (NT, C, H, H^{dim-1}) with same-tile rows accumulated in
+    VMEM and untouched tiles exactly zero (input/output aliasing).
+
+    ``tile_index``: (S,) int32 dense tile id per plan row, grouped (each
+    tile's rows consecutive — plan order guarantees it); padded rows must
+    point at their predecessor's tile (ops/binned.py handles that)."""
+    S = plan.slot_pt.shape[0]
+    K, H, M, m = plan.K, plan.H, plan.M, plan.m
+    W2 = H ** (plan.dim - 1)
+    inv_b = window_inv_b(m, plan.sigma)
+    amp = window_inv_sqrt_b_pi(m, plan.sigma)
+
+    data = jnp.concatenate(
+        [_slot_values(plan, x.astype(jnp.float32)), plan.slot_pos], axis=0
+    )
+    F = data.shape[0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(S,),
+        in_specs=[
+            pl.BlockSpec((F, K), lambda s, *_: (0, s), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # aliased zeros, unread
+        ],
+        out_specs=pl.BlockSpec(
+            (1, C, H, W2),
+            lambda s, cnt, o0, o1, o2, ti: (ti[s], 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    kernel = functools.partial(
+        _spread_dense_kernel, K=K, C=C, H=H, M=M, m=m, inv_b=inv_b, amp=amp,
+        dim=plan.dim,
+    )
+    zeros = jnp.zeros((NT, C, H, W2), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((NT, C, H, W2), jnp.float32),
+        # input index counts the 5 scalar-prefetch operands: 5=data, 6=zeros
+        input_output_aliases={6: 0},
+        interpret=_interpret(),
+    )(
+        plan.row_count,
+        *_origin_args(plan),
+        tile_index.astype(jnp.int32),
+        data,
+        zeros,
+    )
 
 
 def _gather_kernel(
