@@ -104,8 +104,11 @@ def test_binned_gradients_match(rng):
     np.testing.assert_allclose(np.asarray(gp_b), np.asarray(gp_s), rtol=1e-4, atol=1e-3)
 
 
-def test_pallas_kernels_interpret(rng):
+def test_pallas_kernels_interpret(rng, monkeypatch):
     """Force the fused Pallas path (interpret mode on CPU): K=128, dim=3."""
+    # f32-exact comparison vs the XLA engine needs the highest-precision
+    # kernels (bf16kr intentionally trades ~2e-4 error for speed)
+    monkeypatch.setenv("TORCH_NFFT_TPU_KERNEL_PRECISION", "highest")
     from torch_nfft_tpu.ops.binned import (
         _gather_pallas,
         _gather_xla,
@@ -157,10 +160,41 @@ def test_build_plan_device_matches_host(rng, dim, N, m, B):
     np.testing.assert_allclose(np.asarray(yd), np.asarray(yh), rtol=1e-5, atol=1e-5)
 
 
-def test_dense_spread_pallas_padded_rows(rng):
+def test_pallas_bf16kr_mode_close(rng, monkeypatch):
+    """bf16kr kernels agree with the f32 XLA engine to bf16-level tolerance."""
+    monkeypatch.setenv("TORCH_NFFT_TPU_KERNEL_PRECISION", "bf16kr")
+    from torch_nfft_tpu.ops.binned import (
+        _gather_pallas,
+        _gather_xla,
+        _spread_pallas,
+        _spread_xla,
+        build_plan,
+    )
+
+    n, dim, N, m, B, C = 200, 3, 8, 3, 2, 2
+    pos, batch = _points(rng, n, dim, B)
+    plan = build_plan(pos, batch, N=N, m=m, batch_size=B, K=128)
+    x = rng.standard_normal((n, C)).astype(np.float32)
+
+    g_p = _spread_pallas(plan, jnp.asarray(x), jnp.asarray(pos), B)
+    g_x = _spread_xla(plan, jnp.asarray(x), jnp.asarray(pos), B)
+    scale = float(np.abs(np.asarray(g_x)).max())
+    np.testing.assert_allclose(
+        np.asarray(g_p), np.asarray(g_x), atol=2e-2 * scale
+    )
+    y_p = _gather_pallas(plan, g_x, jnp.asarray(pos))
+    y_x = _gather_xla(plan, g_x, jnp.asarray(pos))
+    yscale = float(np.abs(np.asarray(y_x)).max())
+    np.testing.assert_allclose(
+        np.asarray(y_p), np.asarray(y_x), atol=2e-2 * yscale
+    )
+
+
+def test_dense_spread_pallas_padded_rows(rng, monkeypatch):
     """In-kernel dense accumulation with PADDED rows (row_count == 0) in the
     plan: padded rows must contribute nothing and never corrupt a flushed
     tile block (they are repointed at their predecessor's tile)."""
+    monkeypatch.setenv("TORCH_NFFT_TPU_KERNEL_PRECISION", "highest")
     from torch_nfft_tpu.ops.binned import (
         _spread_dft_pallas,
         _spread_dft_xla,

@@ -324,3 +324,93 @@ def test_grid_sharded_spectral_matches_unsharded(rng):
     )(xr, xi)
     np.testing.assert_allclose(np.asarray(gr_s), np.asarray(er), rtol=2e-4, atol=2e-3)
     np.testing.assert_allclose(np.asarray(gi_s), np.asarray(ei), rtol=2e-4, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end GRID-sharded transforms (grid axis-0 slabs + halo ppermute)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def gmesh():
+    return make_mesh({"grid": -1})
+
+
+@pytest.mark.parametrize("dim,N,m,T", [(2, 64, 4, 16), (3, 32, 3, 8), (3, 64, 4, 16)])
+def test_grid_sharded_adjoint_matches_planar(rng, gmesh, dim, N, m, T):
+    from torch_nfft_tpu.ops.planar import nfft_adjoint_planar
+    from torch_nfft_tpu.parallel import (
+        build_grid_sharded_layout,
+        nfft_adjoint_grid_sharded,
+    )
+
+    n, C = 3000, 2
+    pos = (rng.random((n, dim)) - 0.5).astype(np.float32)
+    pos /= 4 * np.abs(pos).max()
+    x = rng.standard_normal((n, C)).astype(np.float32)
+    P = gmesh.devices.size
+
+    lay = build_grid_sharded_layout(pos, n_shards=P, N=N, m=m, T=T)
+    yr, yi = nfft_adjoint_grid_sharded(x, lay, gmesh)
+
+    rr, ri = nfft_adjoint_planar(
+        jnp.asarray(x), jnp.asarray(pos), jnp.zeros((n,), jnp.int32),
+        batch_size=1, N=N, m=m,
+    )
+    np.testing.assert_allclose(np.asarray(yr), np.asarray(rr), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(yi), np.asarray(ri), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("dim,N,m,T,real_out", [(2, 64, 4, 16, False), (3, 32, 3, 8, True)])
+def test_grid_sharded_forward_matches_planar(rng, gmesh, dim, N, m, T, real_out):
+    from torch_nfft_tpu.ops.planar import nfft_forward_planar
+    from torch_nfft_tpu.parallel import (
+        build_grid_sharded_layout,
+        nfft_forward_grid_sharded,
+    )
+
+    n, C = 2500, 2
+    pos = (rng.random((n, dim)) - 0.5).astype(np.float32)
+    pos /= 4 * np.abs(pos).max()
+    xr = rng.standard_normal((1,) + (N,) * dim + (C,)).astype(np.float32)
+    xi = rng.standard_normal((1,) + (N,) * dim + (C,)).astype(np.float32)
+    P = gmesh.devices.size
+
+    lay = build_grid_sharded_layout(pos, n_shards=P, N=N, m=m, T=T)
+    yr, yi = nfft_forward_grid_sharded(
+        jnp.asarray(xr), jnp.asarray(xi), lay, gmesh, real_output=real_out
+    )
+
+    rr, ri = nfft_forward_planar(
+        jnp.asarray(xr), jnp.asarray(xi), jnp.asarray(pos),
+        jnp.zeros((n,), jnp.int32), batch_size=1, dim=dim, m=m,
+    )
+    np.testing.assert_allclose(np.asarray(yr), np.asarray(rr), rtol=2e-4, atol=2e-4)
+    if real_out:
+        assert yi is None
+    else:
+        np.testing.assert_allclose(np.asarray(yi), np.asarray(ri), rtol=2e-4, atol=2e-4)
+
+
+def test_grid_sharded_roundtrip_vs_oracle(rng, gmesh):
+    """adjoint -> forward through the grid-sharded pair vs the dense NDFT."""
+    from torch_nfft_tpu.parallel import (
+        build_grid_sharded_layout,
+        nfft_adjoint_grid_sharded,
+        nfft_forward_grid_sharded,
+    )
+
+    n, dim, N, m, T = 1200, 2, 64, 4, 16
+    pos = (rng.random((n, dim)) - 0.5).astype(np.float32)
+    pos /= 4 * np.abs(pos).max()
+    x = rng.standard_normal((n, 1)).astype(np.float32)
+    P = gmesh.devices.size
+
+    lay = build_grid_sharded_layout(pos, n_shards=P, N=N, m=m, T=T)
+    yr, yi = nfft_adjoint_grid_sharded(x, lay, gmesh)
+    zr, _ = nfft_forward_grid_sharded(yr, yi, lay, gmesh, real_output=True)
+
+    spec = tn.ndft_adjoint(x, pos, N=N)
+    ref = np.asarray(tn.ndft_forward(np.asarray(spec), pos)).real
+    rel = np.linalg.norm(np.asarray(zr) - ref) / np.linalg.norm(ref)
+    assert rel < 5e-4, rel

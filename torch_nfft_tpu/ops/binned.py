@@ -703,14 +703,18 @@ def _spread_xla_fold(plan: BinnedPlan, x, pos, batch_size: int):
     return fold_tiles_to_grid(acc, plan, batch_size, x.shape[1])
 
 
-def _dense_tiles_xla(plan: BinnedPlan, x, pos, batch_size: int, compact=False):
+def _dense_tiles_xla(plan: BinnedPlan, x, pos, batch_size: int, compact=False,
+                     tid=None, NT=None):
     """Chunked einsum tiles accumulated into the dense tile array (NT, F)
     with one scalar index per row — negligible layout padding. ``compact``
-    restricts the array to the plan's active slab (tilefold.active_axes)."""
+    restricts the array to the plan's active slab (tilefold.active_axes).
+    ``tid``/``NT`` override the dense-tile indexing (used by the grid-sharded
+    transforms, whose tile array covers only the local grid slab)."""
     dim, H, K, M, T = plan.dim, plan.H, plan.K, plan.M, plan.T
     nb = M // T
     C = x.shape[1]
-    NT = batch_size * math.prod(a for _, a in active_axes(plan, compact))
+    if NT is None:
+        NT = batch_size * math.prod(a for _, a in active_axes(plan, compact))
     F = C * H**dim
     S = plan.slot_pt.shape[0]
     R = _pick_row_chunk(S, K, H, dim, C, jnp.dtype(x.dtype).itemsize)
@@ -721,7 +725,9 @@ def _dense_tiles_xla(plan: BinnedPlan, x, pos, batch_size: int, compact=False):
     row_count = jnp.pad(plan.row_count, (0, S_pad - S))
     origin = jnp.pad(plan.origin, ((0, S_pad - S), (0, 0)))
     # pad rows scatter out of range and are dropped
-    tid = jnp.pad(row_tile_ids(plan, compact), (0, S_pad - S), constant_values=NT)
+    if tid is None:
+        tid = row_tile_ids(plan, compact)
+    tid = jnp.pad(tid, (0, S_pad - S), constant_values=NT)
     k_iota = jnp.arange(K, dtype=jnp.int32)[None, :]
 
     acc = jnp.zeros((NT, F), dtype=x.dtype)
@@ -820,15 +826,19 @@ def _tile_chunk_rows(S: int, H: int, dim: int, C: int) -> int:
     return int(max(1, min(S, (3 << 31) // max(1, padded_tile))))
 
 
-def _dense_tiles_pallas(plan: BinnedPlan, x, pos, batch_size: int, compact=False):
+def _dense_tiles_pallas(plan: BinnedPlan, x, pos, batch_size: int, compact=False,
+                        tid=None, NT=None):
     """Fused Pallas tiles accumulated IN-KERNEL into the dense (NT, F) array
-    (no separate scatter pass; untouched tiles stay zero via aliasing)."""
+    (no separate scatter pass; untouched tiles stay zero via aliasing).
+    ``tid``/``NT`` as in :func:`_dense_tiles_xla`."""
     from .pallas.contract import spread_tiles_dense_pallas
 
     dim, H, C = plan.dim, plan.H, x.shape[1]
-    NT = batch_size * math.prod(a for _, a in active_axes(plan, compact))
+    if NT is None:
+        NT = batch_size * math.prod(a for _, a in active_axes(plan, compact))
     S = plan.slot_pt.shape[0]
-    tid = row_tile_ids(plan, compact)
+    if tid is None:
+        tid = row_tile_ids(plan, compact)
     # Padded rows (row_count == 0, e.g. from plan_stack.pad_plan_rows) must
     # not re-open an already-flushed tile block: repoint each at the nearest
     # PRECEDING real row's tile — they contribute exact zeros to it.
@@ -1034,8 +1044,10 @@ def _gather_xla_fold(plan: BinnedPlan, g_flat, pos, batch_size: int):
     return _points_from_tiles_xla(plan, tiles_dense, pos)
 
 
-def _points_from_tiles_xla(plan: BinnedPlan, tiles_dense, pos, compact=False):
-    """Dense tile4 array (NT, C, H, H^{dim-1}) -> per-point values (n, C)."""
+def _points_from_tiles_xla(plan: BinnedPlan, tiles_dense, pos, compact=False,
+                           tid=None):
+    """Dense tile4 array (NT, C, H, H^{dim-1}) -> per-point values (n, C).
+    ``tid`` overrides the per-row tile indexing (grid-sharded transforms)."""
     dim, H, K = plan.dim, plan.H, plan.K
     C = tiles_dense.shape[1]
     S = plan.slot_pt.shape[0]
@@ -1046,7 +1058,9 @@ def _points_from_tiles_xla(plan: BinnedPlan, tiles_dense, pos, compact=False):
     slot_pt = jnp.pad(plan.slot_pt, ((0, S_pad - S), (0, 0)))
     row_count = jnp.pad(plan.row_count, (0, S_pad - S))
     origin = jnp.pad(plan.origin, ((0, S_pad - S), (0, 0)))
-    tid = jnp.pad(row_tile_ids(plan, compact), (0, S_pad - S))  # pad rows read tile 0, masked
+    if tid is None:
+        tid = row_tile_ids(plan, compact)
+    tid = jnp.pad(tid, (0, S_pad - S))  # pad rows read tile 0, masked
     k_iota = jnp.arange(K, dtype=jnp.int32)[None, :]
 
     out = jnp.zeros((S_pad * K, C), dtype=tiles_dense.dtype)

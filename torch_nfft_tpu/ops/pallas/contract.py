@@ -28,6 +28,7 @@ back to the differentiable XLA path.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +45,20 @@ __all__ = [
 ]
 
 _KC = 1024  # lane chunk per inner iteration (VMEM bound)
+
+
+def kernel_precision() -> str:
+    """Window-contraction precision mode, read at trace time.
+
+    * ``"highest"`` — f32 Khatri-Rao, HIGHEST (6-pass) MXU dot. Reference
+      accuracy (~9e-5 rel-L2 at 3D N=256 m=4).
+    * ``"bf16kr"`` — bf16 Khatri-Rao feeding a single-pass bf16 MXU dot with
+      f32 accumulation; ~2.5x faster kernels. The extra rounding costs
+      ~2e-4 rel-L2 on top of the window truncation error — still well under
+      the m=4 usefulness envelope, but set TORCH_NFFT_TPU_KERNEL_PRECISION=
+      highest when reference-exact accuracy matters.
+    """
+    return os.environ.get("TORCH_NFFT_TPU_KERNEL_PRECISION", "highest").lower()
 
 
 def _interpret() -> bool:
@@ -116,6 +131,39 @@ def _chunks(K):
     return K // _KC, _KC
 
 
+def _spread_row_tile(A, xw, H, dim):
+    """One row's tile contribution: tile[u, vw] = sum_k A0[u,k] * t2[vw,k]
+    with t2 the value-weighted Khatri-Rao of the trailing dims. Precision per
+    :func:`kernel_precision` — in bf16kr mode the KR pass runs in bf16 (half
+    the VPU traffic of the dominant pass) and the dot is one bf16 MXU pass
+    with f32 accumulation."""
+    mode = kernel_precision()
+    if mode == "bf16kr":
+        if dim == 2:
+            t2 = (A[1] * xw).astype(jnp.bfloat16)
+        else:
+            t2 = _khatri_rao(
+                A[1].astype(jnp.bfloat16), (A[2] * xw).astype(jnp.bfloat16), H
+            )
+        a0 = A[0].astype(jnp.bfloat16)
+        prec = jax.lax.Precision.DEFAULT
+    else:
+        t2 = A[1] * xw if dim == 2 else _khatri_rao(A[1], A[2] * xw, H)
+        a0 = A[0]
+        prec = (
+            jax.lax.Precision.DEFAULT
+            if mode == "default"
+            else jax.lax.Precision.HIGHEST
+        )
+    return jax.lax.dot_general(
+        a0,
+        t2,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    )
+
+
 def _spread_kernel(
     row_count_ref,  # scalar prefetch (S,)
     org0_ref,  # scalar prefetch (S,) per axis (2D SMEM operands pad to 128
@@ -151,20 +199,7 @@ def _spread_kernel(
         )
         for c in range(C):
             xw = data_ref[c : c + 1, pl.ds(sl, KC)] * kmask  # (1, KC)
-            if dim == 2:
-                # tile[u, v] = sum_k A0[u, k] * A1[v, k] * x[k]
-                t2 = A[1] * xw  # (H, KC)
-            else:
-                # t2[v*H + w, k] = A1[v, k] * A2[w, k] * x[k]
-                t2 = _khatri_rao(A[1], A[2] * xw, H)
-            # tile[u, vw] = sum_k A0[u, k] * t2[vw, k]
-            accs[c] = accs[c] + jax.lax.dot_general(
-                A[0],
-                t2,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            accs[c] = accs[c] + _spread_row_tile(A, xw, H, dim)
     for c in range(C):
         tile_ref[0, c] = accs[c]
 
@@ -214,17 +249,7 @@ def _spread_dense_kernel(
         )
         for c in range(C):
             xw = data_ref[c : c + 1, pl.ds(sl, KC)] * kmask  # (1, KC)
-            if dim == 2:
-                t2 = A[1] * xw  # (H, KC)
-            else:
-                t2 = _khatri_rao(A[1], A[2] * xw, H)
-            accs[c] = accs[c] + jax.lax.dot_general(
-                A[0],
-                t2,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            accs[c] = accs[c] + _spread_row_tile(A, xw, H, dim)
 
     prev = tile_id_ref[jnp.maximum(s - 1, 0)]
     first = (s == 0) | (tile_id_ref[s] != prev)
@@ -327,19 +352,36 @@ def _gather_kernel(
             data_ref[0:dim, pl.ds(sl, KC)],
             orgs, M, m, H, inv_b, amp,
         )
+        mode = kernel_precision()
+        bf = mode == "bf16kr"
         # B[v*H + w, k] = A1[v, k] * A2[w, k]  (3D); B = A1 (2D)
-        B = _khatri_rao(A[1], A[2], H) if dim == 3 else A[1]
+        if dim == 3:
+            B = (
+                _khatri_rao(
+                    A[1].astype(jnp.bfloat16), A[2].astype(jnp.bfloat16), H
+                )
+                if bf
+                else _khatri_rao(A[1], A[2], H)
+            )
+        else:
+            B = A[1].astype(jnp.bfloat16) if bf else A[1]
+        a0 = A[0].astype(jnp.bfloat16) if bf else A[0]
+        prec = (
+            jax.lax.Precision.DEFAULT
+            if mode in ("bf16kr", "default")
+            else jax.lax.Precision.HIGHEST
+        )
         for c in range(C):
             G = tile_in_ref[0, c]  # (H, H^{dim-1})
             # t1[vw, k] = sum_u G[u, vw] A0[u, k]
             t1 = jax.lax.dot_general(
-                G,
-                A[0],
+                G.astype(jnp.bfloat16) if bf else G,
+                a0,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=prec,
             )  # (H^{dim-1}, KC)
-            # y[k] = sum_{vw} B[vw, k] t1[vw, k]
+            # y[k] = sum_{vw} B[vw, k] t1[vw, k] (B promotes to f32)
             yk = jnp.sum(B * t1, axis=0, keepdims=True) * kmask  # (1, KC)
             y_ref[0, c : c + 1, pl.ds(sl, KC)] = yk
 

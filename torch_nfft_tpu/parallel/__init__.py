@@ -12,9 +12,21 @@ grid. The TPU-native scaling design replaces that with explicit SPMD over a
 * the **column axis** shards the trailing coefficient columns: fully
   independent signals, zero communication;
 * independent point-set groups (data parallelism) ride a leading axis, see
-  :func:`make_fastsum_train_step`.
+  :func:`make_fastsum_train_step`;
+* the **grid axis** shards the oversampled grid itself (axis-0 tile slabs)
+  end to end — spread, overlap-add, DFT and gather all operate on one slab
+  per chip with a single halo ``ppermute`` — for N^dim beyond one chip's
+  HBM, see :mod:`grid_sharded`.
 """
 
+from .grid_sharded import (
+    GridShardedLayout,
+    build_grid_sharded_layout,
+    nfft_adjoint_grid_sharded,
+    nfft_forward_grid_sharded,
+    spectral_adjoint_pruned_dft_sharded0,
+    spectral_forward_pruned_dft_sharded0,
+)
 from .mesh import make_mesh, pad_points
 from .sharded import (
     build_sharded_plans,
@@ -35,5 +47,11 @@ __all__ = [
     "nfft_fastsum_sharded",
     "spectral_adjoint_pruned_dft_sharded",
     "spectral_forward_pruned_dft_sharded",
+    "GridShardedLayout",
+    "build_grid_sharded_layout",
+    "nfft_adjoint_grid_sharded",
+    "nfft_forward_grid_sharded",
+    "spectral_adjoint_pruned_dft_sharded0",
+    "spectral_forward_pruned_dft_sharded0",
     "make_fastsum_train_step",
 ]
