@@ -61,17 +61,24 @@ def _accuracy_gate():
 
 def _headline_accuracy(pos_np, x_np, plan, N, m, dim, batch, n_freq=96):
     """Accuracy of the ACTUAL headline transform (full n, full N, m) vs an
-    exact float64 oracle on a random sample of frequencies.
+    exact-phase oracle on a random sample of frequencies.
 
     The dense oracle at 3D N=256 cannot be materialized (the reference
     validates only small configs for the same reason, test_adjoint.py:21-31),
-    but single frequencies can be summed exactly over ALL points:
+    but single frequencies can be summed over ALL points:
     y[k, c] = sum_i x[i, c] exp(2 pi i k . pos_i). We draw ``n_freq`` random
     centered frequencies, read just those entries of the device adjoint
-    output (96 scalars over the link), and compare with a chunked numpy
-    float64 sum — the per-config oracle-comparison pattern of
-    /root/reference/test/test_adjoint.py:38-49 at headline scale.
+    output, and compare with a device-evaluated direct sum whose PHASE is
+    computed exactly: pos splits into p_hi (12 fractional bits, so k*p_hi
+    with |k| <= N/2 <= 2^11 is exact in f32 and its mod-1 reduction is
+    exact) plus a tiny p_lo correction — the angle carries ~1e-7 rad error,
+    and the tree-reduced f32 sums add ~1e-6 relative, two orders below the
+    ~1e-4 NFFT window error being measured. This is the per-config
+    oracle-comparison pattern of /root/reference/test/test_adjoint.py:38-49
+    at headline scale (a float64 host oracle agrees to ~1e-6 but costs
+    minutes of single-core numpy).
     """
+    import jax
     import jax.numpy as jnp
 
     from torch_nfft_tpu.ops.planar import nfft_adjoint_planar
@@ -88,13 +95,37 @@ def _headline_accuracy(pos_np, x_np, plan, N, m, dim, batch, n_freq=96):
     got_i = np.asarray(yi[(0,) + idx + (0,)])
     got = got_r + 1j * got_i
 
-    ref = np.zeros((n_freq,), np.complex128)
-    kT = k.astype(np.float64).T  # (dim, n_freq)
-    chunk = 1 << 21
-    for lo in range(0, pos_np.shape[0], chunk):
-        p = pos_np[lo : lo + chunk].astype(np.float64)
-        w = x_np[lo : lo + chunk, 0].astype(np.float64)
-        ref += np.exp(2j * np.pi * (p @ kT)).T @ w
+    n = pos_np.shape[0]
+    chunk = min(n, 1 << 21)
+    n_chunks = -(-n // chunk)
+    n_pad = n_chunks * chunk
+    pos_d = jnp.asarray(np.pad(pos_np, ((0, n_pad - n), (0, 0))))
+    w_d = jnp.asarray(np.pad(x_np[:, 0], (0, n_pad - n)))
+    k_d = jnp.asarray(k.astype(np.float32))  # (F, dim)
+    scale = 4096.0
+
+    @jax.jit
+    def oracle(pos_d, w_d):
+        def body(i, acc):
+            p = jax.lax.dynamic_slice_in_dim(pos_d, i * chunk, chunk, 0)
+            w = jax.lax.dynamic_slice_in_dim(w_d, i * chunk, chunk, 0)
+            p_hi = jnp.round(p * scale) / scale
+            p_lo = p - p_hi
+            ph_hi = jnp.zeros((chunk, n_freq), jnp.float32)
+            ph_lo = jnp.zeros((chunk, n_freq), jnp.float32)
+            for d in range(dim):  # elementwise products: exact f32 (no MXU)
+                ph_hi = ph_hi + p_hi[:, d : d + 1] * k_d[None, :, d]
+                ph_lo = ph_lo + p_lo[:, d : d + 1] * k_d[None, :, d]
+            ang = 2.0 * jnp.pi * (ph_hi - jnp.floor(ph_hi) + ph_lo)
+            cr = jnp.sum(w[:, None] * jnp.cos(ang), axis=0)
+            ci = jnp.sum(w[:, None] * jnp.sin(ang), axis=0)
+            return acc[0] + cr, acc[1] + ci
+
+        z = jnp.zeros((n_freq,), jnp.float32)
+        return jax.lax.fori_loop(0, n_chunks, body, (z, z))
+
+    ref_r, ref_i = oracle(pos_d, w_d)
+    ref = np.asarray(ref_r).astype(np.float64) + 1j * np.asarray(ref_i)
     return float(np.linalg.norm(got - ref) / np.linalg.norm(ref))
 
 
@@ -131,15 +162,19 @@ def main():
     x = jnp.asarray(rng.standard_normal((n, 1)).astype(np.float32))
     batch = jnp.zeros((n,), jnp.int32)
 
-    # Plan once (host-side binning; amortized across transforms, like an FFTW
-    # plan). "binned" turns the irregular scatter into dense MXU contractions.
+    # Plan once (amortized across transforms, like an FFTW plan). "binned"
+    # turns the irregular scatter into dense MXU contractions. The DEVICE
+    # builder keeps every O(n) step (sort, gathers, permutation inverse) on
+    # the chip — no O(n) host-link transfers (the host builder ships ~8B/pt).
     plan = None
     t_plan = 0.0
     if strategy in ("auto", "binned"):
-        from torch_nfft_tpu.ops.binned import build_plan
+        from torch_nfft_tpu.ops.binned import build_plan_device
 
         t0 = time.perf_counter()
-        plan = build_plan(pos_np, None, N=N, m=m, batch_size=1)
+        plan = build_plan_device(pos, None, N=N, m=m, batch_size=1)
+        jax.block_until_ready(plan.inv_slot)
+        float(jnp.sum(plan.row_count))
         t_plan = time.perf_counter() - t0
         _log(f"plan built in {t_plan:.3f}s: rows={plan.slot_pt.shape[0]} K={plan.K} T={plan.T}")
 

@@ -1,0 +1,81 @@
+"""Gradient-path cost on the attached TPU: jax.grad through the headline
+adjoint (Pallas forward + XLA custom-vjp backward) and the fastsum training
+step.
+
+The Pallas window kernels are value-only; their custom_vjp backward falls
+back to the differentiable XLA engine (ops/binned.py), so this measures the
+real training-step cost users pay. Reference semantics:
+test/test_grad.py:23-46 (which prints finite-difference errors, never cost).
+
+Usage: python examples/bench_grad.py [n_points_log2]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from torch_nfft_tpu.ops.binned import build_plan_device
+from torch_nfft_tpu.ops.planar import nfft_adjoint_planar
+
+
+def bench(jfn, *args, iters=3):
+    out = jfn(*args)
+    jax.block_until_ready(out)
+    float(jnp.sum(jax.tree.leaves(out)[0]))
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = jfn(*args)
+        float(jnp.sum(jax.tree.leaves(out)[0]))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def main():
+    logn = int(sys.argv[1]) if len(sys.argv) > 1 else 22
+    n, N, dim, m = 1 << logn, 256, 3, 4
+    rng = np.random.default_rng(7)
+    pos_np = (rng.random((n, dim), dtype=np.float32) - 0.5) / 2.0
+    pos = jnp.asarray(pos_np)
+    x = jnp.asarray(rng.standard_normal((n, 1)).astype(np.float32))
+    batch = jnp.zeros((n,), jnp.int32)
+
+    t0 = time.perf_counter()
+    plan = build_plan_device(pos, None, N=N, m=m, batch_size=1)
+    float(jnp.sum(plan.inv_slot))
+    print(f"plan: {time.perf_counter()-t0:.1f}s", flush=True)
+
+    def loss(x, pos, batch, plan):
+        yr, yi = nfft_adjoint_planar(x, pos, batch, plan, batch_size=1, N=N, m=m)
+        return jnp.sum(yr * yr + yi * yi)
+
+    fwd = jax.jit(loss)
+    t_f = bench(fwd, x, pos, batch, plan)
+    print(f"adjoint loss forward:      {t_f*1e3:8.1f} ms", flush=True)
+
+    gx = jax.jit(jax.grad(loss, argnums=0))
+    t_gx = bench(gx, x, pos, batch, plan)
+    print(f"grad wrt values x:         {t_gx*1e3:8.1f} ms "
+          f"({t_gx/t_f:.2f}x forward)", flush=True)
+
+    gxp = jax.jit(jax.grad(loss, argnums=(0, 1)))
+    t_gp = bench(gxp, x, pos, batch, plan)
+    print(f"grad wrt (x, positions):   {t_gp*1e3:8.1f} ms "
+          f"({t_gp/t_f:.2f}x forward)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -27,7 +27,13 @@ from .ops.ndft import (
     ndft_forward,
 )
 from .ops.binned import BinnedPlan, build_plan, build_plan_device
-from .ops.nfft import clear_plan_cache, nfft_adjoint, nfft_fastsum, nfft_forward
+from .ops.nfft import (
+    clear_plan_cache,
+    nfft_adjoint,
+    nfft_fastsum,
+    nfft_forward,
+    set_complex_override,
+)
 from .ops.planar import (
     nfft_adjoint_planar,
     nfft_fastsum_real,
@@ -54,6 +60,7 @@ __version__ = "0.1.0"
 __all__ = [
     "nfft_forward",
     "nfft_adjoint",
+    "set_complex_override",
     "nfft_fastsum",
     "BinnedPlan",
     "build_plan",

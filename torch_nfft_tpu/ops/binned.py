@@ -1147,13 +1147,15 @@ def _gather_pallas(plan: BinnedPlan, g_flat, pos):
         # Dense unfold (reshape/roll reads); the kernel reads each row's tile
         # straight out of the dense array via a prefetched tile index, so
         # consecutive rows of one tile reuse the VMEM-resident block.
+        from .pallas.contract import _unslot_values
+
         tiles_dense = unfold_grid_to_tiles(g_flat, plan, batch_size)
         tiles_dense = tiles_dense.astype(jnp.float32)  # (NT, C, H, H*H)
         y = gather_points_pallas(
             plan, tiles_dense, pos, C=C, tile_index=row_tile_ids(plan)
         )  # (S, C, K)
         out = jnp.swapaxes(y, 1, 2).reshape(S * K, C).astype(g_flat.dtype)
-        return jnp.take(out, plan.inv_slot, axis=0)
+        return _unslot_values(plan, out, plan.n)
 
     gx = g_flat.reshape((batch_size,) + (M,) * dim + (C,))
     gx = jnp.moveaxis(gx, -1, 1)
@@ -1192,7 +1194,9 @@ def _gather_pallas(plan: BinnedPlan, g_flat, pos):
         tiles = jax.lax.fori_loop(1, n_chunks, body, tiles)[:S]
     y = gather_points_pallas(plan, tiles, pos, C=C)  # (S, C, K)
     out = jnp.swapaxes(y, 1, 2).reshape(S * K, C).astype(g_flat.dtype)
-    return jnp.take(out, plan.inv_slot, axis=0)
+    from .pallas.contract import _unslot_values
+
+    return _unslot_values(plan, out, plan.n)
 
 
 @jax.jit
@@ -1247,7 +1251,7 @@ def _gather_dft_xla(plan: BinnedPlan, g_dft, pos, compact=False):
 
 
 def _gather_dft_pallas(plan: BinnedPlan, g_dft, pos, compact=False):
-    from .pallas.contract import gather_points_pallas
+    from .pallas.contract import _unslot_values, gather_points_pallas
 
     batch_size = g_dft.shape[0]
     C = g_dft.shape[-2]
@@ -1258,7 +1262,7 @@ def _gather_dft_pallas(plan: BinnedPlan, g_dft, pos, compact=False):
         tile_index=row_tile_ids(plan, compact),
     )  # (S, C, K)
     out = jnp.swapaxes(y, 1, 2).reshape(S * K, C).astype(g_dft.dtype)
-    return jnp.take(out, plan.inv_slot, axis=0)
+    return _unslot_values(plan, out, plan.n)
 
 
 @partial(jax.jit, static_argnames=("compact",))

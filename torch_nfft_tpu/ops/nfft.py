@@ -72,6 +72,21 @@ def _normalize_batch(batch, n, batch_size):
 _COMPLEX_OK = None
 
 
+def set_complex_override(value: bool | None) -> None:
+    """Override complex-pipeline availability detection.
+
+    ``True`` forces the complex-dtype pipelines, ``False`` forces the
+    pure-real planar pipelines, ``None`` (default) restores per-call
+    auto-detection from the active backend. Equivalent to the
+    TORCH_NFFT_TPU_COMPLEX environment variable, but scriptable — this is
+    load-bearing dispatch state, so prefer this setter over reaching into
+    module internals."""
+    global _COMPLEX_OK
+    if value is not None:
+        value = bool(value)
+    _COMPLEX_OK = value
+
+
 def _complex_ok() -> bool:
     """Whether the active backend can run complex64 FFTs (mainline CPU/TPU:
     yes; the axon TPU runtime exposes no complex dtype at all). Re-derived on

@@ -365,7 +365,7 @@ def _gather_kernel(
             )
         else:
             B = A[1].astype(jnp.bfloat16) if bf else A[1]
-        a0 = A[0].astype(jnp.bfloat16) if bf else A[0]
+        a0 = A[0]
         prec = (
             jax.lax.Precision.DEFAULT
             if mode in ("bf16kr", "default")
@@ -373,24 +373,53 @@ def _gather_kernel(
         )
         for c in range(C):
             G = tile_in_ref[0, c]  # (H, H^{dim-1})
-            # t1[vw, k] = sum_u G[u, vw] A0[u, k]
-            t1 = jax.lax.dot_general(
+            # s[u, k] = sum_vw G[u, vw] B[vw, k]: contraction DEEP over the
+            # H^{dim-1} axis with a small (H, KC) output — the MXU-friendly
+            # association (contracting the H-deep axis with a (W2, KC)
+            # output, the other association, measures ~2x slower).
+            s = jax.lax.dot_general(
                 G.astype(jnp.bfloat16) if bf else G,
-                a0,
-                dimension_numbers=(((0,), (0,)), ((), ())),
+                B,
+                dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=prec,
-            )  # (H^{dim-1}, KC)
-            # y[k] = sum_{vw} B[vw, k] t1[vw, k] (B promotes to f32)
-            yk = jnp.sum(B * t1, axis=0, keepdims=True) * kmask  # (1, KC)
+            )  # (H, KC)
+            # y[k] = sum_u A0[u, k] * s[u, k]
+            yk = jnp.sum(a0 * s, axis=0, keepdims=True) * kmask  # (1, KC)
             y_ref[0, c : c + 1, pl.ds(sl, KC)] = yk
 
 
 def _slot_values(plan, x):
-    """Feature-major slot-ordered values: (C, S*K) gathered from x (n, C).
+    """Feature-major slot-ordered values: (C, S*K) from x (n, C).
+
+    Executed as a SCATTER by the inverse permutation (``out[inv_slot[i]] =
+    x[i]``) rather than a gather by ``slot_pt``: both are issue-bound on TPU
+    (~11 ns/element either way at 16M), but the unique-index scatter measures
+    ~30% faster — and it writes exact zeros into invalid slots for free.
     Coordinates never need this — the plan precomputes plan.slot_pos."""
-    flat = plan.slot_pt.reshape(-1)  # (S*K,)
-    return jnp.take(x, flat, axis=0).T  # (C, S*K)
+    S, K = plan.slot_pt.shape
+    C = x.shape[1]
+    out = (
+        jnp.zeros((S * K, C), x.dtype)
+        .at[plan.inv_slot]
+        .set(x, unique_indices=True)
+    )
+    return out.T  # (C, S*K)
+
+
+def _unslot_values(plan, out_flat, n):
+    """(S*K, C) slot-ordered values -> (n, C) user order: the transpose of
+    :func:`_slot_values`, again as a unique-index scatter (invalid slots are
+    routed out of range and dropped)."""
+    S, K = plan.slot_pt.shape
+    k_iota = jnp.arange(K, dtype=jnp.int32)[None, :]
+    valid = k_iota < plan.row_count[:, None]
+    target = jnp.where(valid, plan.slot_pt, n).reshape(-1)
+    return (
+        jnp.zeros((n, out_flat.shape[1]), out_flat.dtype)
+        .at[target]
+        .set(out_flat, mode="drop", unique_indices=True)
+    )
 
 
 def _origin_args(plan):
