@@ -414,3 +414,68 @@ def test_grid_sharded_roundtrip_vs_oracle(rng, gmesh):
     ref = np.asarray(tn.ndft_forward(np.asarray(spec), pos)).real
     rel = np.linalg.norm(np.asarray(zr) - ref) / np.linalg.norm(ref)
     assert rel < 5e-4, rel
+
+
+def test_grid_sharded_layout_validation(rng):
+    from torch_nfft_tpu.parallel import build_grid_sharded_layout
+
+    pos1d = (rng.random((100, 1)) - 0.5).astype(np.float32) / 2
+    with pytest.raises(ValueError, match="dim >= 2"):
+        build_grid_sharded_layout(pos1d, n_shards=4, N=32, m=3)
+
+    pos2d = (rng.random((100, 2)) - 0.5).astype(np.float32) / 2
+    with pytest.raises(ValueError, match="not divisible"):
+        # N=32 -> M=64, T=32 -> nb=2 tiles per axis, not divisible by 8
+        build_grid_sharded_layout(pos2d, n_shards=8, N=32, m=4, T=32)
+
+
+def test_grid_sharded_empty_shard(rng, gmesh):
+    """A slab with zero points must still produce correct (zero-contribution)
+    results via its synthetic filler point."""
+    from torch_nfft_tpu.ops.planar import nfft_adjoint_planar
+    from torch_nfft_tpu.parallel import (
+        build_grid_sharded_layout,
+        nfft_adjoint_grid_sharded,
+    )
+
+    n, dim, N, m, T = 400, 2, 64, 4, 16
+    # confine all points to the first half of axis 0 -> several empty slabs
+    pos = (rng.random((n, dim)) - 0.5).astype(np.float32)
+    pos /= 4 * np.abs(pos).max()
+    pos[:, 0] = -np.abs(pos[:, 0])
+    x = rng.standard_normal((n, 1)).astype(np.float32)
+    P = gmesh.devices.size
+
+    lay = build_grid_sharded_layout(pos, n_shards=P, N=N, m=m, T=T)
+    yr, yi = nfft_adjoint_grid_sharded(x, lay, gmesh)
+    rr, ri = nfft_adjoint_planar(
+        jnp.asarray(x), jnp.asarray(pos), jnp.zeros((n,), jnp.int32),
+        batch_size=1, N=N, m=m,
+    )
+    np.testing.assert_allclose(np.asarray(yr), np.asarray(rr), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(yi), np.asarray(ri), rtol=2e-4, atol=2e-4)
+
+
+def test_grid_sharded_fastsum_matches_planar(rng, gmesh):
+    from torch_nfft_tpu.ops.planar import nfft_fastsum_real
+    from torch_nfft_tpu.parallel import (
+        build_grid_sharded_layout,
+        nfft_fastsum_grid_sharded,
+    )
+
+    n, dim, N, m, T = 1500, 2, 64, 4, 16
+    pos = (rng.random((n, dim)) - 0.5).astype(np.float32)
+    pos /= 4 * np.abs(pos).max()
+    x = rng.standard_normal((n, 2)).astype(np.float32)
+    coeffs = np.asarray(tn.gaussian_analytic_coeffs(0.3, dim=dim, N=N))
+    P = gmesh.devices.size
+
+    lay = build_grid_sharded_layout(pos, n_shards=P, N=N, m=m, T=T)
+    y = nfft_fastsum_grid_sharded(x, coeffs, lay, gmesh)
+
+    batch = jnp.zeros((n,), jnp.int32)
+    ref = nfft_fastsum_real(
+        jnp.asarray(x), jnp.asarray(coeffs), jnp.asarray(pos),
+        jnp.asarray(pos), batch, batch, batch_size=1, N=N, m=m,
+    )
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=2e-4, atol=2e-4)

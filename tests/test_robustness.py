@@ -210,3 +210,26 @@ def test_binned_float64_positions_match_plan(rng):
         ref = np.asarray(tn.ndft_adjoint(np.asarray(x), pos32, N=16)).real
         rel = np.linalg.norm(np.asarray(got).reshape(ref.shape) - ref) / np.linalg.norm(ref)
         assert rel < 1e-3, rel
+
+
+def test_set_complex_override_roundtrip(rng):
+    """The public setter flips dispatch to the planar pipeline and back."""
+    import torch_nfft_tpu as tn
+    from torch_nfft_tpu.ops import nfft as nfft_mod
+
+    n, N, m = 80, 16, 3
+    pos = (rng.random((n, 2)) - 0.5).astype(np.float32)
+    pos /= 4 * np.abs(pos).max()
+    x = rng.standard_normal((n, 2)).astype(np.float32)
+    try:
+        tn.set_complex_override(False)
+        y_planar = tn.nfft_adjoint(x, pos, bandwidth=N, cutoff=m, real_output=True)
+        assert not np.iscomplexobj(np.asarray(y_planar))
+        tn.set_complex_override(True)
+        y_cplx = tn.nfft_adjoint(x, pos, bandwidth=N, cutoff=m, real_output=True)
+        np.testing.assert_allclose(
+            np.asarray(y_planar), np.asarray(y_cplx), rtol=1e-4, atol=1e-4
+        )
+    finally:
+        tn.set_complex_override(None)
+    assert nfft_mod._COMPLEX_OK is None

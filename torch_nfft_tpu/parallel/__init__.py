@@ -23,6 +23,7 @@ from .grid_sharded import (
     GridShardedLayout,
     build_grid_sharded_layout,
     nfft_adjoint_grid_sharded,
+    nfft_fastsum_grid_sharded,
     nfft_forward_grid_sharded,
     spectral_adjoint_pruned_dft_sharded0,
     spectral_forward_pruned_dft_sharded0,
@@ -50,6 +51,7 @@ __all__ = [
     "GridShardedLayout",
     "build_grid_sharded_layout",
     "nfft_adjoint_grid_sharded",
+    "nfft_fastsum_grid_sharded",
     "nfft_forward_grid_sharded",
     "spectral_adjoint_pruned_dft_sharded0",
     "spectral_forward_pruned_dft_sharded0",

@@ -57,6 +57,7 @@ __all__ = [
     "build_grid_sharded_layout",
     "nfft_adjoint_grid_sharded",
     "nfft_forward_grid_sharded",
+    "nfft_fastsum_grid_sharded",
     "spectral_adjoint_pruned_dft_sharded0",
     "spectral_forward_pruned_dft_sharded0",
 ]
@@ -483,3 +484,66 @@ def nfft_forward_grid_sharded(
 
     yr = unpack(yr_s)
     return (yr, None) if real_output else (yr, unpack(yi_s))
+
+
+def nfft_fastsum_grid_sharded(
+    x, coeffs, layout: GridShardedLayout, mesh, *, axis_name: str = "grid"
+):
+    """Grid-sharded fastsum (Gram-matrix matvec) for real samples and real
+    even coefficients: adjoint spread -> band filter on the replicated
+    N^dim spectrum -> forward gather, every grid-sized stage on one slab
+    per chip. Symmetric sources == targets (the layout's point set); two
+    ppermutes + one psum total. Returns y (n, C) real.
+
+    Reference pipeline: ``nfft_fastsum_cuda`` (core_cuda.cu:535-852) with
+    the band filter of spectral_window_operations.cu:269-402 — here the
+    phi_hat_inv^2 factor rides inside the two pruned DFT matrices and
+    ``coeffs`` multiplies the centered band directly (see
+    ops/planar.py:nfft_fastsum_real).
+    """
+    x = jnp.asarray(x, jnp.float32)
+    coeffs = jnp.asarray(coeffs, jnp.float32)
+    lay = layout
+    N, m, sigma, dim = lay.N, lay.m, lay.sigma, lay.dim
+    M = int(round(sigma * N))
+    C = x.shape[1]
+    xs = _pack_values(x, lay)
+    n_shards = lay.n_shards
+
+    def body(xs_l, coeffs_r, pos_l, plans_l):
+        plan = squeeze_plan(plans_l)
+        idx = jax.lax.axis_index(axis_name)
+        tid = _local_tile_ids(plan, lay.A0_loc, idx)
+        nb = M // lay.T
+        NT = lay.A0_loc * nb ** (dim - 1)
+        pos32 = pos_l[0].astype(jnp.float32)
+        tiles = _dense_tiles_xla(plan, xs_l[0], pos32, 1, tid=tid, NT=NT)
+        g_slab = _fold_dft_slab(tiles, plan, C, lay.A0_loc, axis_name, n_shards)
+        sr, si = spectral_adjoint_pruned_dft_sharded0(
+            g_slab, None, dim, N, m, sigma, axis_name, M
+        )
+        cf = coeffs_r[None, ..., None]
+        sr = sr * cf
+        si = si * cf
+        gr, _ = spectral_forward_pruned_dft_sharded0(
+            sr, si, dim, M, m, sigma, axis_name, n_shards, real_only=True
+        )
+        tiles2 = _unfold_dft_slab(
+            gr[0] if dim == 3 else gr, plan, C, lay.A0_loc, axis_name,
+            n_shards,
+        )
+        y = _points_from_tiles_xla(plan, tiles2, pos32, tid=tid)
+        return y[None]
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(), P(axis_name), P(axis_name)),
+        out_specs=P(axis_name),
+    )
+    ys = jax.jit(fn)(xs, coeffs, lay.pos_stack, lay.plans)
+    flat = ys.reshape(-1, C)
+    out = jnp.zeros((lay.n, C), flat.dtype)
+    return out.at[lay.point_index.reshape(-1)].set(
+        flat, mode="drop", unique_indices=True
+    )
