@@ -246,3 +246,30 @@ def test_symmetric_fastsum_auto_plan(rng, monkeypatch):
     coeffs = tn.gaussian_analytic_coeffs(0.25, dim=dim, N=N)
     tn.nfft_fastsum(x, coeffs, pos, cutoff=m)
     assert calls and calls[0] == (True, True)
+
+
+def test_pallas_kernels_interpret_1d(rng, monkeypatch):
+    """1D fused kernels (interpret mode) vs the XLA engine."""
+    monkeypatch.setenv("TORCH_NFFT_TPU_KERNEL_PRECISION", "highest")
+    from torch_nfft_tpu.ops.binned import (
+        _gather_dft_pallas,
+        _gather_dft_xla,
+        _spread_dft_pallas,
+        _spread_dft_xla,
+        build_plan,
+    )
+    from torch_nfft_tpu.ops.pallas.contract import pallas_supported
+
+    n, dim, N, m, B, C = 3000, 1, 64, 4, 2, 2
+    pos, batch = _points(rng, n, dim, B)
+    plan = build_plan(pos, batch, N=N, m=m, batch_size=B, K=128)
+    assert pallas_supported(plan, C)
+    x = rng.standard_normal((n, C)).astype(np.float32)
+
+    g_p = _spread_dft_pallas(plan, jnp.asarray(x), jnp.asarray(pos), B)
+    g_x = _spread_dft_xla(plan, jnp.asarray(x), jnp.asarray(pos), B)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=1e-5, atol=1e-5)
+
+    y_p = _gather_dft_pallas(plan, g_x, jnp.asarray(pos))
+    y_x = _gather_dft_xla(plan, g_x, jnp.asarray(pos))
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x), rtol=1e-5, atol=1e-5)

@@ -227,8 +227,10 @@ def merge_active_runs(actives, nb: int, dim: int) -> tuple | None:
 
 def default_tile(dim: int, m: int, M: int) -> int:
     """Tile edge T: big enough to keep rows/points ratio sane, small enough
-    that the halo overhead H^dim / (2m+2)^dim stays moderate."""
-    base = {1: 256, 2: 32, 3: 16}.get(dim, 16)
+    that the halo overhead H^dim / (2m+2)^dim stays moderate. 1D uses 64:
+    the window work per row scales with H = T + 2m + 1, and 1D rows are
+    plentiful at any T (one axis of bins), so a small halo wins."""
+    base = {1: 64, 2: 32, 3: 16}.get(dim, 16)
     T = max(base, _next_pow2(2 * m + 1))  # halo fold needs T >= 2m+1
     return min(T, M)
 

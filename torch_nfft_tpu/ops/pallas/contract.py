@@ -69,7 +69,7 @@ def _interpret() -> bool:
 def pallas_supported(plan, C: int) -> bool:
     # K must tile the 128-lane axis and the kernel's chunking (either one
     # chunk of K <= _KC or whole _KC chunks); otherwise fall back to XLA.
-    if plan.dim not in (2, 3) or plan.K % 128:
+    if plan.dim not in (1, 2, 3) or plan.K % 128:
         return False
     return plan.K <= _KC or plan.K % _KC == 0
 
@@ -139,7 +139,9 @@ def _spread_row_tile(A, xw, H, dim):
     with f32 accumulation."""
     mode = kernel_precision()
     if mode == "bf16kr":
-        if dim == 2:
+        if dim == 1:
+            t2 = xw.astype(jnp.bfloat16)  # tile[u] = sum_k A0[u,k] x[k]
+        elif dim == 2:
             t2 = (A[1] * xw).astype(jnp.bfloat16)
         else:
             t2 = _khatri_rao(
@@ -148,7 +150,12 @@ def _spread_row_tile(A, xw, H, dim):
         a0 = A[0].astype(jnp.bfloat16)
         prec = jax.lax.Precision.DEFAULT
     else:
-        t2 = A[1] * xw if dim == 2 else _khatri_rao(A[1], A[2] * xw, H)
+        if dim == 1:
+            t2 = xw
+        elif dim == 2:
+            t2 = A[1] * xw
+        else:
+            t2 = _khatri_rao(A[1], A[2] * xw, H)
         a0 = A[0]
         prec = (
             jax.lax.Precision.DEFAULT
@@ -354,6 +361,14 @@ def _gather_kernel(
         )
         mode = kernel_precision()
         bf = mode == "bf16kr"
+        if dim == 1:
+            # y[k] = sum_u A0[u, k] * G[u, 0]: one broadcast-multiply pass
+            # (G's single lane splats over K) + a sublane reduce.
+            for c in range(C):
+                G = tile_in_ref[0, c]  # (H, 1)
+                yk = jnp.sum(A[0] * G, axis=0, keepdims=True) * kmask
+                y_ref[0, c : c + 1, pl.ds(sl, KC)] = yk
+            continue
         # B[v*H + w, k] = A1[v, k] * A2[w, k]  (3D); B = A1 (2D)
         if dim == 3:
             B = (
