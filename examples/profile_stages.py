@@ -24,7 +24,11 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-from torch_nfft_tpu.ops.binned import build_plan, spread_binned_dft, gather_binned_dft
+from torch_nfft_tpu.ops.binned import (
+    build_plan_device,
+    spread_binned_dft,
+    gather_binned_dft,
+)
 from torch_nfft_tpu.ops.fft import (
     spectral_adjoint_pruned_dft,
     spectral_forward_pruned_dft,
@@ -56,7 +60,8 @@ def main():
     from torch_nfft_tpu.ops.tilefold import compact_cells
 
     t0 = time.perf_counter()
-    plan = build_plan(pos_np, None, N=N, m=m, batch_size=1)
+    plan = build_plan_device(pos, None, N=N, m=m, batch_size=1)
+    float(jnp.sum(plan.row_count))  # force
     cells = compact_cells(plan)
     ca = cells is not None
     print(f"plan: {time.perf_counter()-t0:.2f}s rows={plan.slot_pt.shape[0]} "

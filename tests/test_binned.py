@@ -273,3 +273,31 @@ def test_pallas_kernels_interpret_1d(rng, monkeypatch):
     y_p = _gather_dft_pallas(plan, g_x, jnp.asarray(pos))
     y_x = _gather_dft_xla(plan, g_x, jnp.asarray(pos))
     np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x), rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_high3_mode_f32_class(rng, monkeypatch):
+    """high3 (manual 3-pass bf16 dot) agrees with the f32 XLA engine to
+    f32-class tolerance — unlike bf16kr it must NOT cost ~2e-3."""
+    monkeypatch.setenv("TORCH_NFFT_TPU_KERNEL_PRECISION", "high3")
+    from torch_nfft_tpu.ops.binned import (
+        _gather_pallas,
+        _gather_xla,
+        _spread_pallas,
+        _spread_xla,
+        build_plan,
+    )
+
+    n, dim, N, m, B, C = 200, 3, 8, 3, 2, 2
+    pos, batch = _points(rng, n, dim, B)
+    plan = build_plan(pos, batch, N=N, m=m, batch_size=B, K=128)
+    x = rng.standard_normal((n, C)).astype(np.float32)
+
+    g_p = _spread_pallas(plan, jnp.asarray(x), jnp.asarray(pos), B)
+    g_x = _spread_xla(plan, jnp.asarray(x), jnp.asarray(pos), B)
+    scale = float(np.abs(np.asarray(g_x)).max())
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), atol=3e-5 * scale)
+
+    y_p = _gather_pallas(plan, g_x, jnp.asarray(pos))
+    y_x = _gather_xla(plan, g_x, jnp.asarray(pos))
+    yscale = float(np.abs(np.asarray(y_x)).max())
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x), atol=3e-5 * yscale)

@@ -41,6 +41,7 @@ __all__ = [
     "spread_tiles_pallas",
     "spread_tiles_dense_pallas",
     "gather_points_pallas",
+    "pos_grad_pallas",
     "pallas_supported",
 ]
 
@@ -51,14 +52,47 @@ def kernel_precision() -> str:
     """Window-contraction precision mode, read at trace time.
 
     * ``"highest"`` — f32 Khatri-Rao, HIGHEST (6-pass) MXU dot. Reference
-      accuracy (~9e-5 rel-L2 at 3D N=256 m=4).
-    * ``"bf16kr"`` — bf16 Khatri-Rao feeding a single-pass bf16 MXU dot with
-      f32 accumulation; ~2.5x faster kernels. The extra rounding costs
-      ~2e-4 rel-L2 on top of the window truncation error — still well under
-      the m=4 usefulness envelope, but set TORCH_NFFT_TPU_KERNEL_PRECISION=
-      highest when reference-exact accuracy matters.
+      accuracy (~1.1e-4 rel-L2 at 3D N=256 m=4).
+    * ``"high3"`` — f32 Khatri-Rao; the MXU dot splits both operands into
+      bf16 hi+lo parts and sums the three significant cross products
+      (DEFAULT-precision passes, f32 accumulation) — the manual version of
+      ``Precision.HIGH``, which Mosaic does not lower inside kernels.
+      Accuracy is f32-class (the dropped lo*lo term is ~2^-18 relative),
+      at roughly a third of HIGHEST's MXU passes. Measured on the 3D
+      N=256 m=4 headline it is nevertheless ~11% *slower* end to end
+      (0.552 vs 0.497 s/pair): the dots are not the bottleneck there and
+      the VPU split/round passes cost more than the MXU passes saved —
+      kept as an opt-in for dot-bound shapes.
+    * ``"bf16kr"`` — bf16 Khatri-Rao feeding a single-pass bf16 MXU dot;
+      fastest, but measured 2.8e-3 rel-L2 at the 3D headline (any bf16
+      rounding of per-point weights lands ~2e-3 in the output) — opt-in
+      for error-tolerant workloads only.
     """
     return os.environ.get("TORCH_NFFT_TPU_KERNEL_PRECISION", "highest").lower()
+
+
+def _split_bf16(v):
+    """Two-term bf16 decomposition: v ~= hi + lo with both parts bf16 and
+    the residual ~2^-18 relative (hi carries 8 mantissa bits, lo the next 8)."""
+    hi = v.astype(jnp.bfloat16)
+    lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot_high3(a, b, dn):
+    """dot_general(a, b) with Precision.HIGH semantics built by hand:
+    hi*hi + hi*lo + lo*hi in three DEFAULT bf16 MXU passes, f32 accumulate."""
+    a_hi, a_lo = _split_bf16(a)
+    b_hi, b_lo = _split_bf16(b)
+
+    def d(x, y):
+        return jax.lax.dot_general(
+            x, y, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+
+    return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
 
 
 def _interpret() -> bool:
@@ -109,6 +143,43 @@ def _windows_fused(pd, orgs, M, m, H, inv_b, amp):
     vals = jnp.exp(-(t * t) * inv_b) * amp
     vals = jnp.where((rel >= 0) & (rel < L), vals, 0.0)
     return [vals[d * G : d * G + H] for d in range(D)]
+
+
+def _windows_and_derivs(pd, orgs, M, m, H, inv_b, amp):
+    """Like :func:`_windows_fused` but also returns the derivative windows
+    D_d = dA_d/dpos_d = (-2*inv_b*M) * t * A_d (the floor in the window
+    argument is piecewise constant, so d t/d pos = M exactly — matching the
+    XLA path, where ``binned._row_windows`` stop-gradients the floor).
+
+    Returns a list of ``(A_d, D_d)`` pairs, each (H, KC). Costs one extra
+    whole-array multiply pass over the fused (dim*G, KC) window batch.
+    """
+    D, KC = pd.shape
+    G = -(-H // 8) * 8
+    L = 2 * m + 2
+    scaled = pd * M
+    fl = jnp.floor(scaled)
+    frac = scaled - fl
+    s_mod = (fl.astype(jnp.int32) - m) % M
+    org = jnp.concatenate(
+        [jnp.full((1, KC), o, jnp.int32) for o in orgs], axis=0
+    )
+    o = (s_mod - org) % M
+    o_r = jnp.concatenate(
+        [jnp.broadcast_to(o[d : d + 1], (G, KC)) for d in range(D)], axis=0
+    )
+    frac_r = jnp.concatenate(
+        [jnp.broadcast_to(frac[d : d + 1], (G, KC)) for d in range(D)], axis=0
+    )
+    u = jax.lax.broadcasted_iota(jnp.int32, (D * G, KC), 0) % G
+    rel = u - o_r
+    t = frac_r + (m - rel).astype(frac_r.dtype)
+    vals = jnp.exp(-(t * t) * inv_b) * amp
+    vals = jnp.where((rel >= 0) & (rel < L), vals, 0.0)
+    dvals = ((-2.0 * inv_b * M) * t) * vals
+    return [
+        (vals[d * G : d * G + H], dvals[d * G : d * G + H]) for d in range(D)
+    ]
 
 
 def _khatri_rao(A, t, H):
@@ -162,10 +233,13 @@ def _spread_row_tile(A, xw, H, dim):
             if mode == "default"
             else jax.lax.Precision.HIGHEST
         )
+    dn = (((1,), (1,)), ((), ()))
+    if mode == "high3":
+        return _dot_high3(a0, t2, dn)
     return jax.lax.dot_general(
         a0,
         t2,
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        dimension_numbers=dn,
         preferred_element_type=jnp.float32,
         precision=prec,
     )
@@ -386,19 +460,23 @@ def _gather_kernel(
             if mode in ("bf16kr", "default")
             else jax.lax.Precision.HIGHEST
         )
+        dn = (((1,), (0,)), ((), ()))
         for c in range(C):
             G = tile_in_ref[0, c]  # (H, H^{dim-1})
             # s[u, k] = sum_vw G[u, vw] B[vw, k]: contraction DEEP over the
             # H^{dim-1} axis with a small (H, KC) output — the MXU-friendly
             # association (contracting the H-deep axis with a (W2, KC)
             # output, the other association, measures ~2x slower).
-            s = jax.lax.dot_general(
-                G.astype(jnp.bfloat16) if bf else G,
-                B,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=prec,
-            )  # (H, KC)
+            if mode == "high3":
+                s = _dot_high3(G, B, dn)
+            else:
+                s = jax.lax.dot_general(
+                    G.astype(jnp.bfloat16) if bf else G,
+                    B,
+                    dimension_numbers=dn,
+                    preferred_element_type=jnp.float32,
+                    precision=prec,
+                )  # (H, KC)
             # y[k] = sum_u A0[u, k] * s[u, k]
             yk = jnp.sum(a0 * s, axis=0, keepdims=True) * kmask  # (1, KC)
             y_ref[0, c : c + 1, pl.ds(sl, KC)] = yk
@@ -523,6 +601,160 @@ def gather_points_pallas(plan, tiles, pos, *, C, tile_index=None):
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((S, C, K), jnp.float32),
+        interpret=_interpret(),
+    )(
+        plan.row_count,
+        *_origin_args(plan),
+        tile_index.astype(jnp.int32),
+        tiles,
+        data,
+    )
+
+
+def _pos_grad_kernel(
+    row_count_ref,
+    org0_ref,
+    org1_ref,
+    org2_ref,
+    tile_index_ref,  # scalar prefetch (S,): tile block id per row
+    tile_in_ref,  # (1, C, H, H^{dim-1}) block — the tile-space cotangent
+    data_ref,  # (F, K) block: rows [0:C]=w columns, [C:C+dim]=coords
+    dpos_ref,  # (1, dim, K) block
+    *,
+    K,
+    C,
+    H,
+    M,
+    m,
+    inv_b,
+    amp,
+    dim,
+):
+    """Fused position-gradient contraction. For each point k,
+
+        dpos[k, d] = sum_c w[c, k] * sum_cells T[c, cells]
+                     * prod_{e != d} A_e[u_e, k] * D_d[u_d, k]
+
+    — i.e. a gather with the derivative window on axis d, weighted by the
+    per-point cotangent/value w. One kernel emits all ``dim`` axes, sharing
+    the loaded tile block and (for axis 0) the gather's own inner matmul.
+    This is what the XLA backward materializes (R, K, dim, H) residuals
+    for; here everything stays in VMEM (~3x one gather's MXU work in 3D).
+    """
+    s = pl.program_id(0)
+    count = row_count_ref[s]
+    n_chunks, KC = _chunks(K)
+    mode = kernel_precision()
+    bf = mode == "bf16kr"
+    prec = (
+        jax.lax.Precision.DEFAULT
+        if mode in ("bf16kr", "default")
+        else jax.lax.Precision.HIGHEST
+    )
+    dn = (((1,), (0,)), ((), ()))
+
+    def dot(G, B):
+        return jax.lax.dot_general(
+            G.astype(jnp.bfloat16) if bf else G,
+            B.astype(jnp.bfloat16) if bf else B,
+            dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+
+    for j in range(n_chunks):
+        sl = j * KC
+        kmask = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, KC), 1) + sl < count
+        ).astype(jnp.float32)
+        orgs = (org0_ref[s], org1_ref[s], org2_ref[s])[:dim]
+        AD = _windows_and_derivs(
+            data_ref[C : C + dim, pl.ds(sl, KC)],
+            orgs, M, m, H, inv_b, amp,
+        )
+        accs = [jnp.zeros((1, KC), jnp.float32) for _ in range(dim)]
+        for c in range(C):
+            w = data_ref[c : c + 1, pl.ds(sl, KC)] * kmask  # (1, KC)
+            G = tile_in_ref[0, c]  # (H, H^{dim-1})
+            if dim == 1:
+                accs[0] = accs[0] + w * jnp.sum(
+                    AD[0][1] * G, axis=0, keepdims=True
+                )
+                continue
+            if dim == 2:
+                sv = dot(G, AD[1][0])  # (H, KC), shared gather contraction
+                accs[0] = accs[0] + w * jnp.sum(
+                    AD[0][1] * sv, axis=0, keepdims=True
+                )
+                sd = dot(G, AD[1][1])
+                accs[1] = accs[1] + w * jnp.sum(
+                    AD[0][0] * sd, axis=0, keepdims=True
+                )
+                continue
+            # dim == 3: share the gather's own s = G @ KR(A1, A2) for axis 0,
+            # then one derivative Khatri-Rao + dot per trailing axis.
+            B = _khatri_rao(AD[1][0], AD[2][0], H)
+            sv = dot(G, B)
+            accs[0] = accs[0] + w * jnp.sum(
+                AD[0][1] * sv, axis=0, keepdims=True
+            )
+            B1 = _khatri_rao(AD[1][1], AD[2][0], H)
+            accs[1] = accs[1] + w * jnp.sum(
+                AD[0][0] * dot(G, B1), axis=0, keepdims=True
+            )
+            B2 = _khatri_rao(AD[1][0], AD[2][1], H)
+            accs[2] = accs[2] + w * jnp.sum(
+                AD[0][0] * dot(G, B2), axis=0, keepdims=True
+            )
+        for d in range(dim):
+            dpos_ref[0, d : d + 1, pl.ds(sl, KC)] = accs[d]
+
+
+def pos_grad_pallas(plan, tiles, w, *, C, tile_index=None):
+    """Fused position-gradient: tile-space cotangent + per-point weights ->
+    (S, dim, K) slot-ordered dpos (ops/binned.py unslots to (n, dim)).
+
+    ``tiles``: (NT, C, H, H^{dim-1}) — the unfolded grid cotangent (spread
+    backward) or the unfolded primal grid (gather backward). ``w``: (n, C)
+    point weights — the primal values x (spread backward) or the point
+    cotangent y-bar (gather backward).
+    """
+    S = plan.slot_pt.shape[0]
+    K, H, M, m = plan.K, plan.H, plan.M, plan.m
+    W2 = H ** (plan.dim - 1)
+    inv_b = window_inv_b(m, plan.sigma)
+    amp = window_inv_sqrt_b_pi(m, plan.sigma)
+    if tile_index is None:
+        tile_index = jnp.arange(S, dtype=jnp.int32)
+
+    data = jnp.concatenate(
+        [_slot_values(plan, w.astype(jnp.float32)), plan.slot_pos], axis=0
+    )
+    F = data.shape[0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(S,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, C, H, W2),
+                lambda s, cnt, o0, o1, o2, ti: (ti[s], 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((F, K), lambda s, *_: (0, s), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, plan.dim, K), lambda s, *_: (s, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    kernel = functools.partial(
+        _pos_grad_kernel, K=K, C=C, H=H, M=M, m=m, inv_b=inv_b, amp=amp,
+        dim=plan.dim,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((S, plan.dim, K), jnp.float32),
         interpret=_interpret(),
     )(
         plan.row_count,
