@@ -1,11 +1,14 @@
 """Gradient-path cost on the attached TPU: jax.grad through the headline
-adjoint (Pallas forward + XLA custom-vjp backward) and the fastsum training
-step.
+adjoint.
 
-The Pallas window kernels are value-only; their custom_vjp backward falls
-back to the differentiable XLA engine (ops/binned.py), so this measures the
-real training-step cost users pay. Reference semantics:
-test/test_grad.py:23-46 (which prints finite-difference errors, never cost).
+The Pallas window kernels carry a FUSED Pallas backward (ops/binned.py:
+_spread/_gather_*_cv_bwd): the value cotangent rides the transpose-direction
+kernel and the position cotangent runs the derivative-window kernel
+(pallas/contract.py:pos_grad_pallas) — nothing materializes the XLA
+backward's (R, K, dim, H) window residuals. Set TORCH_NFFT_TPU_FUSED_BWD=0
+to measure the old differentiate-the-XLA-engine fallback. Reference
+semantics: test/test_grad.py:23-46 (which prints finite-difference errors,
+never cost).
 
 Usage: python examples/bench_grad.py [n_points_log2]
 """

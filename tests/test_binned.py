@@ -275,6 +275,109 @@ def test_pallas_kernels_interpret_1d(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("dim,N", [(1, 16), (2, 16), (3, 8)])
+def test_fused_backward_matches_xla_vjp(rng, monkeypatch, dim, N):
+    """The fused Pallas VJP (value cotangent via the transpose kernel,
+    position cotangent via the derivative-window kernel) matches
+    differentiating the XLA engine, for both spread and gather."""
+    monkeypatch.setenv("TORCH_NFFT_TPU_KERNEL_PRECISION", "highest")
+    monkeypatch.setenv("TORCH_NFFT_TPU_FUSED_BWD", "1")
+    from torch_nfft_tpu.ops.binned import (
+        _gather_pallas_cv,
+        _gather_xla,
+        _spread_pallas_cv,
+        _spread_xla,
+        build_plan,
+    )
+
+    n, m, B, C = 200, 3, 2, 2
+    pos, batch = _points(rng, n, dim, B)
+    plan = build_plan(pos, batch, N=N, m=m, batch_size=B, K=128)
+    x = jnp.asarray(rng.standard_normal((n, C)).astype(np.float32))
+    M = 2 * N
+    g = jnp.asarray(rng.standard_normal((B * M**dim, C)).astype(np.float32))
+    p = jnp.asarray(pos)
+
+    def check(got, ref):
+        for a, b in zip(got, ref):
+            sc = max(1e-6, float(jnp.abs(b).max()))
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-5 * sc
+            )
+
+    check(
+        jax.grad(
+            lambda a, b: jnp.vdot(_spread_pallas_cv(B, plan, a, b), g),
+            argnums=(0, 1),
+        )(x, p),
+        jax.grad(
+            lambda a, b: jnp.vdot(_spread_xla(plan, a, b, B), g),
+            argnums=(0, 1),
+        )(x, p),
+    )
+    check(
+        jax.grad(
+            lambda a, b: jnp.vdot(_gather_pallas_cv(plan, a, b), x),
+            argnums=(0, 1),
+        )(g, p),
+        jax.grad(
+            lambda a, b: jnp.vdot(_gather_xla(plan, a, b), x),
+            argnums=(0, 1),
+        )(g, p),
+    )
+
+
+def test_fused_backward_dft_matches_xla_vjp(rng, monkeypatch):
+    """Fused VJP through the DFT-layout entry points (the hot planar path)."""
+    monkeypatch.setenv("TORCH_NFFT_TPU_KERNEL_PRECISION", "highest")
+    monkeypatch.setenv("TORCH_NFFT_TPU_FUSED_BWD", "1")
+    from torch_nfft_tpu.ops.binned import (
+        _gather_dft_pallas_cv,
+        _gather_dft_xla,
+        _spread_dft_pallas_cv,
+        _spread_dft_xla,
+        build_plan,
+    )
+
+    n, dim, N, m, B, C = 300, 3, 8, 3, 2, 2
+    pos, batch = _points(rng, n, dim, B)
+    plan = build_plan(pos, batch, N=N, m=m, batch_size=B, K=128)
+    x = jnp.asarray(rng.standard_normal((n, C)).astype(np.float32))
+    p = jnp.asarray(pos)
+    g_shape = _spread_dft_xla(plan, x, p, B).shape
+    g = jnp.asarray(rng.standard_normal(g_shape).astype(np.float32))
+
+    def check(got, ref):
+        for a, b in zip(got, ref):
+            sc = max(1e-6, float(jnp.abs(b).max()))
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-5 * sc
+            )
+
+    check(
+        jax.grad(
+            lambda a, b: jnp.vdot(
+                _spread_dft_pallas_cv(B, False, plan, a, b), g
+            ),
+            argnums=(0, 1),
+        )(x, p),
+        jax.grad(
+            lambda a, b: jnp.vdot(_spread_dft_xla(plan, a, b, B), g),
+            argnums=(0, 1),
+        )(x, p),
+    )
+    check(
+        jax.grad(
+            lambda a, b: jnp.vdot(_gather_dft_pallas_cv(False, plan, a, b), x),
+            argnums=(0, 1),
+        )(g, p),
+        jax.grad(
+            lambda a, b: jnp.vdot(_gather_dft_xla(plan, a, b, False), x),
+            argnums=(0, 1),
+        )(g, p),
+    )
+
+
 def test_pallas_high3_mode_f32_class(rng, monkeypatch):
     """high3 (manual 3-pass bf16 dot) agrees with the f32 XLA engine to
     f32-class tolerance — unlike bf16kr it must NOT cost ~2e-3."""

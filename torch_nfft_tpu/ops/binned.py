@@ -38,6 +38,7 @@ point positions flow (the plan is integer-only data).
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 from functools import partial
 
@@ -910,11 +911,47 @@ def _plan_zero_cotangent(plan: BinnedPlan):
     )
 
 
-# The Pallas engines are value-only; their VJPs fall back to the
-# differentiable XLA paths. The custom_vjp wrappers are MODULE-LEVEL with the
-# plan as an explicit argument: a custom_vjp defined inside a jitted function
-# would close over the traced plan leaves, and those captured tracers poison
-# the residual jaxpr ("No constant handler for DynamicJaxprTracer").
+# The Pallas engines' VJPs are themselves fused Pallas programs: spread and
+# gather are exact transposes of each other (same window matrices; fold and
+# unfold are transposes by construction), so each value-cotangent rides the
+# OTHER direction's existing kernel, and the position cotangent runs one
+# derivative-window kernel (pallas/contract.py:pos_grad_pallas) — the XLA
+# backward's (R, K, dim, H) window residuals never materialize. Set
+# TORCH_NFFT_TPU_FUSED_BWD=0 to fall back to differentiating the XLA engine
+# (the reference backward the fused one is tested against). The custom_vjp
+# wrappers are MODULE-LEVEL with the plan as an explicit argument: a
+# custom_vjp defined inside a jitted function would close over the traced
+# plan leaves, and those captured tracers poison the residual jaxpr
+# ("No constant handler for DynamicJaxprTracer").
+
+
+def _fused_bwd() -> bool:
+    return os.environ.get("TORCH_NFFT_TPU_FUSED_BWD", "1") != "0"
+
+
+def _pos_grad_from_tiles(plan: BinnedPlan, tiles, w, tile_index):
+    """(n, dim) position cotangent from tile-space data + point weights."""
+    from .pallas.contract import _unslot_values, pos_grad_pallas
+
+    S, K = plan.slot_pt.shape
+    dp = pos_grad_pallas(
+        plan, tiles, w, C=tiles.shape[1], tile_index=tile_index
+    )  # (S, dim, K)
+    out = jnp.swapaxes(dp, 1, 2).reshape(S * K, plan.dim)
+    return _unslot_values(plan, out, plan.n)
+
+
+def _pos_grad_flat(plan: BinnedPlan, g_flat, w):
+    tiles, tile_index = _tiles_from_flat(plan, g_flat)
+    return _pos_grad_from_tiles(plan, tiles, w, tile_index)
+
+
+def _pos_grad_dft(plan: BinnedPlan, g_dft, w, compact=False):
+    batch_size = g_dft.shape[0]
+    tiles = unfold_grid_to_tiles_dft(g_dft, plan, batch_size, compact)
+    return _pos_grad_from_tiles(
+        plan, tiles.astype(jnp.float32), w, row_tile_ids(plan, compact)
+    )
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -928,6 +965,10 @@ def _spread_pallas_cv_fwd(batch_size, plan, x, pos):
 
 def _spread_pallas_cv_bwd(batch_size, res, g):
     plan, x, pos = res
+    if _fused_bwd():
+        dx = _gather_pallas(plan, g, pos).astype(x.dtype)  # spread^T = gather
+        dpos = _pos_grad_flat(plan, g, x).astype(pos.dtype)
+        return _plan_zero_cotangent(plan), dx, dpos
     _, vjp = jax.vjp(lambda a, b: _spread_xla(plan, a, b, batch_size), x, pos)
     dx, dpos = vjp(g)
     return _plan_zero_cotangent(plan), dx, dpos
@@ -947,6 +988,13 @@ def _gather_pallas_cv_fwd(plan, g_flat, pos):
 
 def _gather_pallas_cv_bwd(res, g):
     plan, gf, pos = res
+    if _fused_bwd():
+        M = plan.M
+        batch_size = gf.shape[0] // M**plan.dim
+        # gather^T = spread of the point cotangent
+        dg = _spread_pallas(plan, g, pos, batch_size).astype(gf.dtype)
+        dpos = _pos_grad_flat(plan, gf, g).astype(pos.dtype)
+        return _plan_zero_cotangent(plan), dg, dpos
     _, vjp = jax.vjp(lambda a, b: _gather_xla(plan, a, b), gf, pos)
     dg, dpos = vjp(g)
     return _plan_zero_cotangent(plan), dg, dpos
@@ -966,6 +1014,10 @@ def _spread_dft_pallas_cv_fwd(batch_size, compact, plan, x, pos):
 
 def _spread_dft_pallas_cv_bwd(batch_size, compact, res, g):
     plan, x, pos = res
+    if _fused_bwd():
+        dx = _gather_dft_pallas(plan, g, pos, compact).astype(x.dtype)
+        dpos = _pos_grad_dft(plan, g, x, compact).astype(pos.dtype)
+        return _plan_zero_cotangent(plan), dx, dpos
     _, vjp = jax.vjp(
         lambda a, b: _spread_dft_xla(plan, a, b, batch_size, compact), x, pos
     )
@@ -987,6 +1039,12 @@ def _gather_dft_pallas_cv_fwd(compact, plan, g_dft, pos):
 
 def _gather_dft_pallas_cv_bwd(compact, res, g):
     plan, gd, pos = res
+    if _fused_bwd():
+        dg = _spread_dft_pallas(
+            plan, g, pos, gd.shape[0], compact
+        ).astype(gd.dtype)
+        dpos = _pos_grad_dft(plan, gd, g, compact).astype(pos.dtype)
+        return _plan_zero_cotangent(plan), dg, dpos
     _, vjp = jax.vjp(lambda a, b: _gather_dft_xla(plan, a, b, compact), gd, pos)
     dg, dpos = vjp(g)
     return _plan_zero_cotangent(plan), dg, dpos
@@ -1137,10 +1195,12 @@ def _gather_xla_windowed(plan: BinnedPlan, g_flat, pos):
     return jnp.take(out, plan.inv_slot, axis=0)
 
 
-def _gather_pallas(plan: BinnedPlan, g_flat, pos):
-    from .pallas.contract import gather_points_pallas
-
-    dim, H, M, K = plan.dim, plan.H, plan.M, plan.K
+def _tiles_from_flat(plan: BinnedPlan, g_flat):
+    """Per-row/dense halo tiles + tile index for a flat-layout grid — the
+    shared front half of the Pallas gather and of the fused position-gradient
+    backward. Returns ``(tiles (NT|S, C, H, H^{dim-1}) f32, tile_index|None)``.
+    """
+    dim, H, M = plan.dim, plan.H, plan.M
     C = g_flat.shape[1]
     batch_size = g_flat.shape[0] // M**dim
     S = plan.slot_pt.shape[0]
@@ -1149,15 +1209,8 @@ def _gather_pallas(plan: BinnedPlan, g_flat, pos):
         # Dense unfold (reshape/roll reads); the kernel reads each row's tile
         # straight out of the dense array via a prefetched tile index, so
         # consecutive rows of one tile reuse the VMEM-resident block.
-        from .pallas.contract import _unslot_values
-
         tiles_dense = unfold_grid_to_tiles(g_flat, plan, batch_size)
-        tiles_dense = tiles_dense.astype(jnp.float32)  # (NT, C, H, H*H)
-        y = gather_points_pallas(
-            plan, tiles_dense, pos, C=C, tile_index=row_tile_ids(plan)
-        )  # (S, C, K)
-        out = jnp.swapaxes(y, 1, 2).reshape(S * K, C).astype(g_flat.dtype)
-        return _unslot_values(plan, out, plan.n)
+        return tiles_dense.astype(jnp.float32), row_tile_ids(plan)
 
     gx = g_flat.reshape((batch_size,) + (M,) * dim + (C,))
     gx = jnp.moveaxis(gx, -1, 1)
@@ -1194,10 +1247,19 @@ def _gather_pallas(plan: BinnedPlan, g_flat, pos):
 
         tiles = body(0, tiles)  # seed varying carry (see _spread_xla)
         tiles = jax.lax.fori_loop(1, n_chunks, body, tiles)[:S]
-    y = gather_points_pallas(plan, tiles, pos, C=C)  # (S, C, K)
-    out = jnp.swapaxes(y, 1, 2).reshape(S * K, C).astype(g_flat.dtype)
-    from .pallas.contract import _unslot_values
+    return tiles, None
 
+
+def _gather_pallas(plan: BinnedPlan, g_flat, pos):
+    from .pallas.contract import _unslot_values, gather_points_pallas
+
+    C = g_flat.shape[1]
+    S, K = plan.slot_pt.shape
+    tiles, tile_index = _tiles_from_flat(plan, g_flat)
+    y = gather_points_pallas(
+        plan, tiles, pos, C=C, tile_index=tile_index
+    )  # (S, C, K)
+    out = jnp.swapaxes(y, 1, 2).reshape(S * K, C).astype(g_flat.dtype)
     return _unslot_values(plan, out, plan.n)
 
 
