@@ -515,3 +515,37 @@ def test_grid_sharded_value_gradients(rng, gmesh):
     g_p = jax.grad(loss_planar)(x)
     sc = float(jnp.abs(g_p).max())
     np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_p), atol=2e-4 * sc)
+
+
+def test_train_step_planar_matches_complex(mesh2d, rng):
+    """The complex-free (planar) training-step path — what the axon TPU
+    runtime executes — produces the same loss and update as the complex
+    path on a backend that supports both."""
+    from torch_nfft_tpu.ops.nfft import set_complex_override
+
+    B, n, dim, N, m, C = 4, 16, 2, 8, 3, 2
+    coeffs = tn.gaussian_analytic_coeffs(0.3, dim=dim, N=N)
+    pos = (rng.random((B, n, dim)) - 0.5).astype(np.float32) / 4
+    w0 = jnp.asarray(rng.standard_normal((B, n, C)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((B, n, C)).astype(np.float32))
+
+    def one_step():
+        step, shardings = make_fastsum_train_step(
+            mesh2d, coeffs, batch_size=B, n_per_set=n, cutoff=m,
+            learning_rate=0.05,
+        )
+        w = jax.device_put(w0, shardings[0])
+        pos_d = jax.device_put(jnp.asarray(pos), shardings[1])
+        y_d = jax.device_put(y, shardings[2])
+        w1, loss = step(w, pos_d, y_d)
+        return np.asarray(w1), float(loss)
+
+    try:
+        set_complex_override(False)
+        w_p, loss_p = one_step()
+    finally:
+        set_complex_override(None)
+    w_c, loss_c = one_step()
+
+    assert abs(loss_p - loss_c) < 1e-5 * max(1.0, abs(loss_c))
+    np.testing.assert_allclose(w_p, w_c, rtol=1e-4, atol=1e-6)

@@ -130,6 +130,35 @@ def fastsum_local(
     n_src, dim = sources.shape
     M = int(round(sigma * N))
     C = xf.shape[1]
+
+    from ..ops.nfft import _complex_ok
+
+    if not (jnp.issubdtype(xf.dtype, jnp.complexfloating) or _complex_ok()):
+        # Complex-free backend (e.g. the axon TPU runtime): the planar
+        # pipeline. The ONE psum moves the REAL oversampled grid (half the
+        # complex payload); the DFTs run as planar matmuls. Exact for real
+        # samples with real even coefficients (Gaussian kernels) — the same
+        # contract as ops/planar.py:nfft_fastsum_real.
+        from ..ops.fft import fftn_planar
+
+        axes = tuple(range(1, dim + 1))
+        g = spread(
+            xf, sources, source_batch, batch_size, N, m, sigma, strategy,
+            plan=source_plan,
+        )
+        if points_axis is not None:
+            g = jax.lax.psum(g, points_axis)
+        g = g.reshape((batch_size,) + (M,) * dim + (C,))
+        gr, gi = fftn_planar(g, None, axes=axes, sign=+1)
+        filt = fastsum_band_filter(coeffs, N, m, M, sigma)[None, ..., None]
+        gr = gr * filt
+        gi = gi * filt
+        gr, _ = fftn_planar(gr, gi, axes=axes, sign=-1)
+        return gather(
+            gr.reshape(batch_size * M**dim, C), targets, target_batch,
+            batch_size, N, m, sigma, strategy, plan=target_plan,
+        )
+
     if cdtype is None:
         cdtype = jnp.result_type(_complex_dtype_for(xf), _complex_dtype_for(coeffs))
 
