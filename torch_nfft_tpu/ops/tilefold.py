@@ -155,14 +155,13 @@ def _fold_simple(tiles_dense, plan, batch_size: int, C: int):
         ax = 1 + d
         body = jax.lax.slice_in_dim(arr, 0, T, axis=ax + 1)
         tail = jax.lax.slice_in_dim(arr, T, H, axis=ax + 1)
-        pad = [(0, 0)] * arr.ndim
-        pad[ax + 1] = (0, T - E)
-        tail = jnp.pad(tail, pad)
+        # tile b's tail lands at cells ((b+1)*T + v) mod M: roll the small
+        # tail one tile forward (the wraparound IS the periodic boundary)
+        # and add it into the body's first E cells.
+        idx = (slice(None),) * (ax + 1) + (slice(0, E),)
+        body = body.at[idx].add(jnp.roll(tail, 1, axis=ax))
         shp = arr.shape[:ax] + (M,) + arr.shape[ax + 2 :]
-        # tile b's tail lands at cells ((b+1)*T + v) mod M: flatten the padded
-        # tail to the grid axis and roll by one tile — the roll's wraparound
-        # IS the periodic boundary.
-        arr = body.reshape(shp) + jnp.roll(tail.reshape(shp), T, axis=ax)
+        arr = body.reshape(shp)
     return arr.reshape(batch_size * M**dim, C)
 
 
@@ -175,9 +174,10 @@ def _unfold_simple(g_flat, plan, batch_size: int):
         ax = 1 + 2 * d
         shp_split = arr.shape[:ax] + (nb, T) + arr.shape[ax + 1 :]
         body = arr.reshape(shp_split)
-        # tile[b, T + v] = grid[((b+1)*T + v) mod M] = roll(grid, -T)[b*T + v]
-        tail = jnp.roll(arr, -T, axis=ax).reshape(shp_split)
-        tail = jax.lax.slice_in_dim(tail, 0, E, axis=ax + 1)
+        # tile[b, T + v] = grid[((b+1)*T + v) mod M] = row b+1's cell v:
+        # slice the small head first, then roll one tile backward.
+        head = jax.lax.slice_in_dim(body, 0, E, axis=ax + 1)
+        tail = jnp.roll(head, -1, axis=ax)
         arr = jnp.concatenate([body, tail], axis=ax + 1)
     # (B, nb_0, H_0, nb_1, H_1, ..., C) -> (B, nb_0, ..., C, H_0, ...)
     perm = (
@@ -200,12 +200,19 @@ def _unfold_simple(g_flat, plan, batch_size: int):
 def _pair_fold(a, T: int, H: int, M: int, E: int):
     """One (nb, H) -> M overlap-add on ``a`` of shape (P, nb, H, Z, W):
     returns (P, M, Z, W). One transpose already applied by the caller so the
-    halo axis sits right of nb; minor axis W stays minor throughout."""
+    halo axis sits right of nb; minor axis W stays minor throughout.
+
+    Tile b's tail (cells T..H-1) lands at cells ((b+1)*T + v) mod M — row
+    b+1's first E body cells, with the roll's wraparound providing the
+    periodic boundary. Rolling the small (P, nb, E, Z, W) tail and adding it
+    into a static body slice moves ~(2 + 3E/T) array passes; the
+    pad-to-T-then-roll-the-full-array formulation this replaces moved ~2
+    extra full passes (pad write + padded roll)."""
     P, nb, _, Z, W = a.shape
-    body = jax.lax.slice_in_dim(a, 0, T, axis=2).reshape(P, M, Z, W)
-    tail = jax.lax.slice_in_dim(a, T, H, axis=2)
-    tail = jnp.pad(tail, ((0, 0), (0, 0), (0, T - E), (0, 0), (0, 0)))
-    return body + jnp.roll(tail.reshape(P, M, Z, W), T, axis=1)
+    body = jax.lax.slice_in_dim(a, 0, T, axis=2)  # (P, nb, T, Z, W)
+    tail = jax.lax.slice_in_dim(a, T, H, axis=2)  # (P, nb, E, Z, W)
+    body = body.at[:, :, :E].add(jnp.roll(tail, 1, axis=1))
+    return body.reshape(P, M, Z, W)
 
 
 def _fold3_dft(tiles_dense, plan, batch_size: int, C: int, compact: bool = False):
@@ -234,11 +241,14 @@ def _fold3_dft(tiles_dense, plan, batch_size: int, C: int, compact: bool = False
 
 def _pair_unfold(g, T: int, H: int, M: int, E: int, nb: int):
     """Inverse reads of :func:`_pair_fold`: (P, M, Z, W) -> (P, nb, H, Z, W)
-    where tile[b, u] = grid[(b*T + u) mod M]."""
+    where tile[b, u] = grid[(b*T + u) mod M]. Tile b's tail cells are row
+    b+1's first E body cells; slice first, then roll only the small tail
+    (the full-array roll this replaces cost an extra full pass)."""
     P, _, Z, W = g.shape
     body = g.reshape(P, nb, T, Z, W)
-    tail = jnp.roll(g, -T, axis=1).reshape(P, nb, T, Z, W)
-    tail = jax.lax.slice_in_dim(tail, 0, E, axis=2)
+    tail = jnp.roll(
+        jax.lax.slice_in_dim(body, 0, E, axis=2), -1, axis=1
+    )
     return jnp.concatenate([body, tail], axis=2)
 
 
