@@ -93,12 +93,18 @@ def main():
           f"rows={groups[0][3].slot_pt.shape[0]} K={groups[0][3].K} "
           f"active={groups[0][3].active}", flush=True)
 
+    # columns run in chunks of BATCH_COLS (default 1). Both columns DO fit
+    # the 6 GiB fold budget together at Gm=8 (~4.1 GiB tile array), but
+    # measured SLOWER (1.59 vs 1.43 s/pair): the doubled tile-array traffic
+    # costs more than the per-row window/Khatri-Rao sharing saves.
+    Cc = int(os.environ.get("BATCH_COLS", 1))
+
     def pair():
         acc = 0.0
         for posj, batchj, xj, plan in groups:
-            for c in range(C):
+            for c in range(0, C, Cc):
                 yr, yi = nfft_adjoint_planar(
-                    xj[:, c : c + 1], posj, batchj, plan, batch_size=Gm,
+                    xj[:, c : c + Cc], posj, batchj, plan, batch_size=Gm,
                     N=N, m=m,
                 )
                 zr, _ = nfft_forward_planar(
@@ -108,7 +114,10 @@ def main():
                 acc += float(jnp.sum(zr))
         return acc
 
-    _run_pairs(pair, f"global B={B} (groups of {Gm}) N={N} C={C} n={n}", n)
+    _run_pairs(
+        pair,
+        f"global B={B} (groups of {Gm}, cols of {Cc}) N={N} C={C} n={n}", n,
+    )
 
 
 if __name__ == "__main__":
