@@ -1,0 +1,100 @@
+"""Iterated Gram matvecs: user-order vs slot-layout fastsum on the TPU.
+
+A CG / power-iteration workload applies the Gaussian Gram matrix to a
+vector on a FIXED point set many times. In user order every matvec pays
+the two point-order permutations (issue-bound scatters, the dominant
+non-math cost of a transform); the slot-layout API
+(``ops.binned.to_slot_order`` + ``nfft_fastsum_real(slot_io=True)``)
+pays them once per solve. This measures ITERS power-iteration steps both
+ways at the 3D N=256 m=4 geometry.
+
+Usage: python examples/bench_fastsum_slot.py [n_log2] [iters]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import torch_nfft_tpu as tn
+from torch_nfft_tpu.ops.planar import nfft_fastsum_real
+
+
+def main():
+    logn = int(sys.argv[1]) if len(sys.argv) > 1 else 22
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    N = int(os.environ.get("BENCH_BANDWIDTH", 256))
+    n, dim, m, B = 1 << logn, 3, 4, 1
+    rng = np.random.default_rng(11)
+    pos = (rng.random((n, dim), dtype=np.float32) - 0.5) / 2.0
+    batch = np.zeros((n,), np.int32)
+    x0 = rng.standard_normal((n, 1)).astype(np.float32)
+    coeffs = tn.gaussian_analytic_coeffs(0.1, dim=dim, N=N)
+
+    t0 = time.perf_counter()
+    plan = tn.build_plan_device(pos, batch, N=N, m=m, batch_size=B)
+    float(jnp.sum(plan.row_count))
+    print(f"plan: {time.perf_counter()-t0:.1f}s rows={plan.slot_pt.shape[0]} "
+          f"K={plan.K} T={plan.T}", flush=True)
+
+    posj, batchj = jnp.asarray(pos), jnp.asarray(batch)
+    args = (posj, posj, batchj, batchj, plan, plan)
+
+    def step_user(y):
+        z = nfft_fastsum_real(y, coeffs, *args, batch_size=B, N=N, m=m)
+        return z * jax.lax.rsqrt(jnp.vdot(z, z))
+
+    def step_slot(v):
+        z = nfft_fastsum_real(
+            v, coeffs, *args, batch_size=B, N=N, m=m, slot_io=True
+        )
+        return z * jax.lax.rsqrt(jnp.vdot(z, z))
+
+    @jax.jit
+    def run_user(y):
+        return jax.lax.fori_loop(0, iters, lambda _, a: step_user(a), y)
+
+    @jax.jit
+    def run_slot(y):
+        v = tn.to_slot_order(plan, y)
+        v = jax.lax.fori_loop(0, iters, lambda _, a: step_slot(a), v)
+        return tn.from_slot_order(plan, v)
+
+    def timeit(fn, y):
+        out = fn(y)
+        float(jnp.sum(out))  # force (compile + run)
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(jnp.sum(fn(y)))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts)), out
+
+    xj = jnp.asarray(x0)
+    t_user, y_user = timeit(run_user, xj)
+    print(f"user order: {t_user:.3f}s for {iters} matvecs "
+          f"({t_user/iters*1e3:.1f} ms/matvec)", flush=True)
+    t_slot, y_slot = timeit(run_slot, xj)
+    print(f"slot order: {t_slot:.3f}s for {iters} matvecs "
+          f"({t_slot/iters*1e3:.1f} ms/matvec)  speedup x{t_user/t_slot:.2f}",
+          flush=True)
+    rel = float(jnp.linalg.norm(y_user - y_slot) / jnp.linalg.norm(y_user))
+    print(f"agreement rel-L2: {rel:.2e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

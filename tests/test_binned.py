@@ -404,3 +404,95 @@ def test_pallas_high3_mode_f32_class(rng, monkeypatch):
     y_x = _gather_xla(plan, g_x, jnp.asarray(pos))
     yscale = float(np.abs(np.asarray(y_x)).max())
     np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x), atol=3e-5 * yscale)
+
+
+def test_slot_order_roundtrip(rng):
+    """to_slot_order/from_slot_order invert each other; empty slots are
+    exact zeros so slot-space dot products agree with user order."""
+    n, dim, N, m, B, C = 300, 3, 8, 3, 2, 2
+    pos, batch = _points(rng, n, dim, B)
+    plan = build_plan(pos, batch, N=N, m=m, batch_size=B, K=128)
+    x = jnp.asarray(rng.standard_normal((n, C)).astype(np.float32))
+    v = tn.to_slot_order(plan, x)
+    S, K = plan.slot_pt.shape
+    assert v.shape == (C, S * K)
+    np.testing.assert_array_equal(
+        np.asarray(tn.from_slot_order(plan, v)), np.asarray(x)
+    )
+    np.testing.assert_allclose(
+        float(jnp.vdot(v, v)), float(jnp.vdot(x, x)), rtol=1e-6
+    )
+
+
+def test_slot_layout_matches_user_order(rng, monkeypatch):
+    """Slot-in spread and slot-out gather (interpret mode) produce the same
+    grid / point values as the user-order XLA engine."""
+    monkeypatch.setenv("TORCH_NFFT_TPU_KERNEL_PRECISION", "highest")
+    from torch_nfft_tpu.ops.binned import (
+        _gather_dft_slot,
+        _gather_dft_xla,
+        _spread_dft_slot,
+        _spread_dft_xla,
+        from_slot_order,
+        to_slot_order,
+    )
+
+    n, dim, N, m, B, C = 300, 3, 8, 3, 2, 2
+    pos, batch = _points(rng, n, dim, B)
+    plan = build_plan(pos, batch, N=N, m=m, batch_size=B, K=128)
+    x = jnp.asarray(rng.standard_normal((n, C)).astype(np.float32))
+    p = jnp.asarray(pos)
+    v = to_slot_order(plan, x)
+
+    g_s = _spread_dft_slot(plan, v, B, False)
+    g_x = _spread_dft_xla(plan, x, p, B, False)
+    np.testing.assert_allclose(
+        np.asarray(g_s), np.asarray(g_x), rtol=1e-5, atol=1e-5
+    )
+
+    y_s = _gather_dft_slot(plan, g_x, False)  # (C, S*K)
+    y_x = _gather_dft_xla(plan, g_x, p, False)  # (n, C)
+    np.testing.assert_allclose(
+        np.asarray(from_slot_order(plan, y_s)), np.asarray(y_x),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_s), np.asarray(to_slot_order(plan, y_x)),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_slot_layout_vjp(rng, monkeypatch):
+    """Value cotangents of the slot-layout custom_vjps equal the slotted
+    user-order cotangents (the backward itself is permutation-free)."""
+    monkeypatch.setenv("TORCH_NFFT_TPU_KERNEL_PRECISION", "highest")
+    from torch_nfft_tpu.ops.binned import (
+        _gather_dft_slot_cv,
+        _gather_dft_xla,
+        _spread_dft_slot_cv,
+        _spread_dft_xla,
+        to_slot_order,
+    )
+
+    n, dim, N, m, B, C = 300, 3, 8, 3, 2, 2
+    pos, batch = _points(rng, n, dim, B)
+    plan = build_plan(pos, batch, N=N, m=m, batch_size=B, K=128)
+    x = jnp.asarray(rng.standard_normal((n, C)).astype(np.float32))
+    p = jnp.asarray(pos)
+    v = to_slot_order(plan, x)
+    g_shape = _spread_dft_xla(plan, x, p, B).shape
+    g = jnp.asarray(rng.standard_normal(g_shape).astype(np.float32))
+
+    dv = jax.grad(lambda a: jnp.vdot(_spread_dft_slot_cv(B, False, plan, a), g))(v)
+    dx = jax.grad(lambda a: jnp.vdot(_spread_dft_xla(plan, a, p, B), g))(x)
+    sc = max(1e-6, float(jnp.abs(dx).max()))
+    np.testing.assert_allclose(
+        np.asarray(dv), np.asarray(to_slot_order(plan, dx)), atol=5e-5 * sc
+    )
+
+    dg_s = jax.grad(
+        lambda a: jnp.vdot(_gather_dft_slot_cv(False, plan, a), v)
+    )(g)
+    dg_x = jax.grad(lambda a: jnp.vdot(_gather_dft_xla(plan, a, p, False), x))(g)
+    sc = max(1e-6, float(jnp.abs(dg_x).max()))
+    np.testing.assert_allclose(np.asarray(dg_s), np.asarray(dg_x), atol=5e-5 * sc)

@@ -1,10 +1,12 @@
 """Planar (pure-real) pipelines vs the complex-dtype pipelines."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 import torch_nfft_tpu as tn
+from torch_nfft_tpu.ops.binned import build_plan
 from torch_nfft_tpu.ops.planar import (
     nfft_adjoint_planar,
     nfft_fastsum_real,
@@ -136,3 +138,55 @@ def test_roundtrip_planar_vs_ndft(rng):
     ref = tn.ndft_forward(np.asarray(spec), pos).real
     rel = np.linalg.norm(np.asarray(zr) - ref) / np.linalg.norm(ref)
     assert rel < 5e-4, rel
+
+
+def test_fastsum_slot_io_matches(rng):
+    """slot_io fastsum (slot vector in, slot vector out) matches the
+    user-order fastsum; gradients w.r.t. the user values agree through the
+    to_slot_order chain; missing plans fail loudly."""
+    import pytest as _pytest
+
+    n, N, m, B, C, dim = 5000, 16, 4, 1, 2, 2
+    pos, batch = _points(rng, n, dim, B)
+    plan = build_plan(pos, batch, N=N, m=m, batch_size=B)
+    x = jnp.asarray(rng.standard_normal((n, C)).astype(np.float32))
+    coeffs = tn.gaussian_analytic_coeffs(0.25, dim=dim, N=N)
+    args = (jnp.asarray(pos), jnp.asarray(pos), jnp.asarray(batch),
+            jnp.asarray(batch), plan, plan)
+
+    ref = nfft_fastsum_real(x, coeffs, *args, batch_size=B, N=N, m=m)
+    v = tn.to_slot_order(plan, x)
+    got = nfft_fastsum_real(
+        v, coeffs, *args, batch_size=B, N=N, m=m, slot_io=True
+    )
+    S, K = plan.slot_pt.shape
+    assert got.shape == (C, S * K)
+    np.testing.assert_allclose(
+        np.asarray(tn.from_slot_order(plan, got)), np.asarray(ref),
+        rtol=1e-5, atol=1e-5,
+    )
+
+    d_ref = jax.grad(
+        lambda a: jnp.sum(
+            nfft_fastsum_real(a, coeffs, *args, batch_size=B, N=N, m=m) ** 2
+        )
+    )(x)
+    d_slot = jax.grad(
+        lambda a: jnp.sum(
+            nfft_fastsum_real(
+                tn.to_slot_order(plan, a), coeffs, *args,
+                batch_size=B, N=N, m=m, slot_io=True,
+            ) ** 2
+        )
+    )(x)
+    sc = max(1e-6, float(jnp.abs(d_ref).max()))
+    np.testing.assert_allclose(
+        np.asarray(d_slot), np.asarray(d_ref), atol=5e-5 * sc
+    )
+
+    with _pytest.raises(ValueError, match="slot_io"):
+        nfft_fastsum_real(
+            v, coeffs, jnp.asarray(pos), jnp.asarray(pos),
+            jnp.asarray(batch), jnp.asarray(batch),
+            batch_size=B, N=N, m=m, slot_io=True,
+        )

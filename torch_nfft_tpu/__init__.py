@@ -26,7 +26,13 @@ from .ops.ndft import (
     ndft_fastsum,
     ndft_forward,
 )
-from .ops.binned import BinnedPlan, build_plan, build_plan_device
+from .ops.binned import (
+    BinnedPlan,
+    build_plan,
+    build_plan_device,
+    from_slot_order,
+    to_slot_order,
+)
 from .ops.nfft import (
     clear_plan_cache,
     nfft_adjoint,
@@ -65,6 +71,8 @@ __all__ = [
     "BinnedPlan",
     "build_plan",
     "build_plan_device",
+    "to_slot_order",
+    "from_slot_order",
     "clear_plan_cache",
     "nfft_adjoint_planar",
     "nfft_forward_planar",

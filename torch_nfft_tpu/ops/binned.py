@@ -830,13 +830,16 @@ def _tile_chunk_rows(S: int, H: int, dim: int, C: int) -> int:
 
 
 def _dense_tiles_pallas(plan: BinnedPlan, x, pos, batch_size: int, compact=False,
-                        tid=None, NT=None):
+                        tid=None, NT=None, x_slot=None):
     """Fused Pallas tiles accumulated IN-KERNEL into the dense (NT, F) array
     (no separate scatter pass; untouched tiles stay zero via aliasing).
-    ``tid``/``NT`` as in :func:`_dense_tiles_xla`."""
+    ``tid``/``NT`` as in :func:`_dense_tiles_xla`. With ``x_slot`` (C, S*K)
+    the values arrive pre-permuted (slot-layout API) and ``x`` may be None."""
     from .pallas.contract import spread_tiles_dense_pallas
 
-    dim, H, C = plan.dim, plan.H, x.shape[1]
+    dim, H = plan.dim, plan.H
+    C = x_slot.shape[0] if x_slot is not None else x.shape[1]
+    out_dtype = x_slot.dtype if x_slot is not None else x.dtype
     if NT is None:
         NT = batch_size * math.prod(a for _, a in active_axes(plan, compact))
     S = plan.slot_pt.shape[0]
@@ -851,9 +854,10 @@ def _dense_tiles_pallas(plan: BinnedPlan, x, pos, batch_size: int, compact=False
     )
     tid = jnp.take(tid, prev_valid)
     acc4 = spread_tiles_dense_pallas(
-        plan, x.astype(jnp.float32), pos, C=C, tile_index=tid, NT=NT
+        plan, None if x is None else x.astype(jnp.float32), pos, C=C,
+        tile_index=tid, NT=NT, x_slot=x_slot,
     )
-    return acc4.reshape(NT, C * H**dim).astype(x.dtype)
+    return acc4.reshape(NT, C * H**dim).astype(out_dtype)
 
 
 def _spread_pallas(plan: BinnedPlan, x, pos, batch_size: int):
@@ -929,13 +933,13 @@ def _fused_bwd() -> bool:
     return os.environ.get("TORCH_NFFT_TPU_FUSED_BWD", "1") != "0"
 
 
-def _pos_grad_from_tiles(plan: BinnedPlan, tiles, w, tile_index):
+def _pos_grad_from_tiles(plan: BinnedPlan, tiles, w, tile_index, w_slot=None):
     """(n, dim) position cotangent from tile-space data + point weights."""
     from .pallas.contract import _unslot_values, pos_grad_pallas
 
     S, K = plan.slot_pt.shape
     dp = pos_grad_pallas(
-        plan, tiles, w, C=tiles.shape[1], tile_index=tile_index
+        plan, tiles, w, C=tiles.shape[1], tile_index=tile_index, w_slot=w_slot
     )  # (S, dim, K)
     out = jnp.swapaxes(dp, 1, 2).reshape(S * K, plan.dim)
     return _unslot_values(plan, out, plan.n)
@@ -946,11 +950,12 @@ def _pos_grad_flat(plan: BinnedPlan, g_flat, w):
     return _pos_grad_from_tiles(plan, tiles, w, tile_index)
 
 
-def _pos_grad_dft(plan: BinnedPlan, g_dft, w, compact=False):
+def _pos_grad_dft(plan: BinnedPlan, g_dft, w, compact=False, w_slot=None):
     batch_size = g_dft.shape[0]
     tiles = unfold_grid_to_tiles_dft(g_dft, plan, batch_size, compact)
     return _pos_grad_from_tiles(
-        plan, tiles.astype(jnp.float32), w, row_tile_ids(plan, compact)
+        plan, tiles.astype(jnp.float32), w, row_tile_ids(plan, compact),
+        w_slot=w_slot,
     )
 
 
@@ -1336,3 +1341,145 @@ def gather_binned_dft(plan: BinnedPlan, g_dft, pos, *, compact: bool = False):
     if not _use_pallas(plan, g_dft.shape[-2], g_dft.dtype):
         return _gather_dft_xla(plan, g_dft, pos, compact)
     return _gather_dft_pallas_cv(compact, plan, g_dft, pos)
+
+
+# ---------------------------------------------------------------------------
+# Slot-layout (plan-native) API. The per-call point-order permutations —
+# user order -> slot order on the way in, slot order -> user order on the
+# way out — are issue-bound scatters (~11 ns/element; ~250 ms of the 497 ms
+# headline pair at 16.7M points) and are the one per-transform cost that is
+# NOT part of the transform's math. Iterated workloads on a fixed point set
+# (CG / power iteration on a Gram matrix, repeated fastsum matvecs) can pay
+# them once: convert to slot order at solve start, run every matvec
+# slot-in/slot-out, convert back at the end. A slot vector is an opaque
+# (C, S*K) array — empty slots hold exact zeros and every point occupies
+# exactly one slot, so +, scalar*, and dot products agree with user order.
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def to_slot_order(plan: BinnedPlan, x):
+    """(n, C) user-order values -> (C, S*K) slot-layout values.
+
+    The slot layout is the plan's native execution order (points sorted by
+    (batch, tile), packed into K-capacity rows); empty slots are zero."""
+    from .pallas.contract import _slot_values
+
+    return _slot_values(plan, x)
+
+
+@jax.jit
+def from_slot_order(plan: BinnedPlan, v):
+    """(C, S*K) slot-layout values -> (n, C) user order (inverse of
+    :func:`to_slot_order` on its image; empty slots are dropped)."""
+    from .pallas.contract import _unslot_values
+
+    return _unslot_values(plan, v.T, plan.n)
+
+
+def _spread_dft_slot(plan: BinnedPlan, x_slot, batch_size: int, compact):
+    acc = _dense_tiles_pallas(
+        plan, None, None, batch_size, compact, x_slot=x_slot
+    )
+    return fold_tiles_to_grid_dft(
+        acc, plan, batch_size, x_slot.shape[0], compact
+    )
+
+
+def _gather_dft_slot(plan: BinnedPlan, g_dft, compact):
+    from .pallas.contract import gather_points_pallas
+
+    batch_size = g_dft.shape[0]
+    C = g_dft.shape[-2]
+    S, K = plan.slot_pt.shape
+    tiles_dense = unfold_grid_to_tiles_dft(g_dft, plan, batch_size, compact)
+    y = gather_points_pallas(
+        plan, tiles_dense.astype(jnp.float32), None, C=C,
+        tile_index=row_tile_ids(plan, compact),
+    )  # (S, C, K)
+    return jnp.swapaxes(y, 0, 1).reshape(C, S * K).astype(g_dft.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _spread_dft_slot_cv(batch_size, compact, plan, x_slot):
+    return _spread_dft_slot(plan, x_slot, batch_size, compact)
+
+
+def _spread_dft_slot_cv_fwd(batch_size, compact, plan, x_slot):
+    return _spread_dft_slot(plan, x_slot, batch_size, compact), (plan, x_slot)
+
+
+def _spread_dft_slot_cv_bwd(batch_size, compact, res, g):
+    plan, x_slot = res
+    # spread^T = gather, already slot-out — the backward needs no
+    # permutation at all (unlike the user-order backward).
+    dx = _gather_dft_slot(plan, g, compact).astype(x_slot.dtype)
+    return _plan_zero_cotangent(plan), dx
+
+
+_spread_dft_slot_cv.defvjp(_spread_dft_slot_cv_fwd, _spread_dft_slot_cv_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gather_dft_slot_cv(compact, plan, g_dft):
+    return _gather_dft_slot(plan, g_dft, compact)
+
+
+def _gather_dft_slot_cv_fwd(compact, plan, g_dft):
+    # residuals must be JAX types: a zero-size marker carries the grid's
+    # batch size (shape) and dtype without keeping the grid alive.
+    marker = jnp.empty((g_dft.shape[0], 0), g_dft.dtype)
+    return _gather_dft_slot(plan, g_dft, compact), (plan, marker)
+
+
+def _gather_dft_slot_cv_bwd(compact, res, g):
+    plan, marker = res
+    dg = _spread_dft_slot(plan, g, marker.shape[0], compact).astype(marker.dtype)
+    return _plan_zero_cotangent(plan), dg
+
+
+_gather_dft_slot_cv.defvjp(_gather_dft_slot_cv_fwd, _gather_dft_slot_cv_bwd)
+
+
+@partial(jax.jit, static_argnames=("batch_size", "compact"))
+def spread_binned_dft_slot(plan: BinnedPlan, x_slot, *, batch_size: int,
+                           compact: bool = False):
+    """:func:`spread_binned_dft` taking (C, S*K) slot-layout values — skips
+    the per-call point-order permutation. Requires a fold-capable plan.
+    Gradients flow to ``x_slot`` (the backward is the slot gather — also
+    permutation-free); position gradients are not offered here, use the
+    user-order entry points for position optimization."""
+    if not _use_pallas(plan, x_slot.shape[0], x_slot.dtype):
+        # Differentiable fallback for CPU/debug backends: convert and run
+        # the user-order XLA engine (to/from_slot_order are plain scatters,
+        # so jax.grad still flows to x_slot).
+        x = from_slot_order(plan, x_slot)
+        return _spread_dft_xla(
+            plan, x, plan_slot_pos_user(plan), batch_size, compact
+        )
+    return _spread_dft_slot_cv(batch_size, compact, plan, x_slot)
+
+
+@partial(jax.jit, static_argnames=("compact",))
+def gather_binned_dft_slot(plan: BinnedPlan, g_dft, *, compact: bool = False):
+    """:func:`gather_binned_dft` returning (C, S*K) slot-layout values —
+    skips the slot -> user permutation. Requires a fold-capable plan."""
+    if not _use_pallas(plan, g_dft.shape[-2], g_dft.dtype):
+        y = _gather_dft_xla(
+            plan, g_dft, plan_slot_pos_user(plan), compact
+        )
+        return to_slot_order(plan, y)
+    return _gather_dft_slot_cv(compact, plan, g_dft)
+
+
+def plan_slot_pos_user(plan: BinnedPlan):
+    """(n, dim) float32 positions reconstructed from the plan's slot-ordered
+    coordinates — the slot-layout entry points take no ``pos`` argument (the
+    Pallas engines read ``plan.slot_pos`` directly); the XLA fallback path
+    rebuilds user-order positions from the same source so both routes use
+    exactly the coordinates the plan binned."""
+    from .pallas.contract import _unslot_values
+
+    S, K = plan.slot_pt.shape
+    return _unslot_values(plan, plan.slot_pos.T.reshape(S * K, plan.dim),
+                          plan.n)

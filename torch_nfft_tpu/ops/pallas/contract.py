@@ -346,23 +346,28 @@ def _spread_dense_kernel(
             tile_ref[0, c] = tile_ref[0, c] + accs[c]
 
 
-def spread_tiles_dense_pallas(plan, x, pos, *, C, tile_index, NT):
+def spread_tiles_dense_pallas(plan, x, pos, *, C, tile_index, NT, x_slot=None):
     """Fused spread contraction straight into the dense tile array:
     (n, C) points -> (NT, C, H, H^{dim-1}) with same-tile rows accumulated in
     VMEM and untouched tiles exactly zero (input/output aliasing).
 
     ``tile_index``: (S,) int32 dense tile id per plan row, grouped (each
     tile's rows consecutive — plan order guarantees it); padded rows must
-    point at their predecessor's tile (ops/binned.py handles that)."""
+    point at their predecessor's tile (ops/binned.py handles that).
+    ``x_slot``: optional (C, S*K) values already in slot order — skips the
+    per-call point-order permutation (the slot-layout API)."""
     S = plan.slot_pt.shape[0]
     K, H, M, m = plan.K, plan.H, plan.M, plan.m
     W2 = H ** (plan.dim - 1)
     inv_b = window_inv_b(m, plan.sigma)
     amp = window_inv_sqrt_b_pi(m, plan.sigma)
 
-    data = jnp.concatenate(
-        [_slot_values(plan, x.astype(jnp.float32)), plan.slot_pos], axis=0
+    vals = (
+        x_slot.astype(jnp.float32)
+        if x_slot is not None
+        else _slot_values(plan, x.astype(jnp.float32))
     )
+    data = jnp.concatenate([vals, plan.slot_pos], axis=0)
     F = data.shape[0]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -710,14 +715,16 @@ def _pos_grad_kernel(
             dpos_ref[0, d : d + 1, pl.ds(sl, KC)] = accs[d]
 
 
-def pos_grad_pallas(plan, tiles, w, *, C, tile_index=None):
+def pos_grad_pallas(plan, tiles, w, *, C, tile_index=None, w_slot=None):
     """Fused position-gradient: tile-space cotangent + per-point weights ->
     (S, dim, K) slot-ordered dpos (ops/binned.py unslots to (n, dim)).
 
     ``tiles``: (NT, C, H, H^{dim-1}) — the unfolded grid cotangent (spread
     backward) or the unfolded primal grid (gather backward). ``w``: (n, C)
     point weights — the primal values x (spread backward) or the point
-    cotangent y-bar (gather backward).
+    cotangent y-bar (gather backward). ``w_slot``: optional (C, S*K)
+    slot-ordered weights instead of ``w`` (the slot-layout API's backward
+    passes already hold them in this layout).
     """
     S = plan.slot_pt.shape[0]
     K, H, M, m = plan.K, plan.H, plan.M, plan.m
@@ -727,9 +734,12 @@ def pos_grad_pallas(plan, tiles, w, *, C, tile_index=None):
     if tile_index is None:
         tile_index = jnp.arange(S, dtype=jnp.int32)
 
-    data = jnp.concatenate(
-        [_slot_values(plan, w.astype(jnp.float32)), plan.slot_pos], axis=0
+    wv = (
+        w_slot.astype(jnp.float32)
+        if w_slot is not None
+        else _slot_values(plan, w.astype(jnp.float32))
     )
+    data = jnp.concatenate([wv, plan.slot_pos], axis=0)
     F = data.shape[0]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -262,7 +262,7 @@ def nfft_forward_planar(
 
 @partial(
     jax.jit,
-    static_argnames=("batch_size", "N", "m", "sigma", "strategy"),
+    static_argnames=("batch_size", "N", "m", "sigma", "strategy", "slot_io"),
 )
 def nfft_fastsum_real(
     x,
@@ -279,17 +279,60 @@ def nfft_fastsum_real(
     m,
     sigma=DEFAULT_SIGMA,
     strategy="auto",
+    slot_io=False,
 ):
     """Fastsum for real samples and real kernel coefficients, real output.
 
     The full pipeline (spread -> IFFT -> band filter -> FFT -> gather) in
     planar arithmetic; the output keeps only the real plane, which is exact
     for even real coefficients (Gaussian kernels).
+
+    ``slot_io=True`` switches to the slot-layout API for iterated matvecs on
+    a fixed point set: ``x`` is a (C, S_src*K) slot vector of the SOURCE
+    plan (ops.binned.to_slot_order) and the return is a (C, S_tgt*K) slot
+    vector of the TARGET plan — the per-call point-order permutations
+    (the dominant non-math cost) are skipped entirely. Requires
+    fold-capable source and target plans (the pruned-DFT route).
     """
     n_src, dim = sources.shape
     M = int(round(sigma * N))
-    C = x.shape[1]
+    C = x.shape[0] if slot_io else x.shape[1]
     axes = tuple(range(1, dim + 1))
+
+    if slot_io:
+        from .binned import gather_binned_dft_slot, spread_binned_dft_slot
+
+        itemsize = jnp.dtype(x.dtype).itemsize
+        use_s, cells_s = _dft_route(source_plan, C, batch_size, itemsize)
+        use_t, cells_t = _dft_route(target_plan, C, batch_size, itemsize)
+        if M > PRUNED_MAX or not (use_s and use_t):
+            raise ValueError(
+                "slot_io=True requires fold-capable source and target plans "
+                "on the pruned-DFT route (M <= PRUNED_MAX, use_fold(...) "
+                "holding for both plans); build binned plans for this "
+                "geometry or use the user-order entry point."
+            )
+        with jax.named_scope("fastsum_spread"):
+            g_dft = spread_binned_dft_slot(
+                source_plan, x, batch_size=batch_size,
+                compact=cells_s is not None,
+            )
+        with jax.named_scope("fastsum_fft_adjoint"):
+            sr, si = spectral_adjoint_pruned_dft(
+                g_dft, None, dim, N, m, sigma, M=M, cells=cells_s
+            )
+        with jax.named_scope("fastsum_kernel_convolution"):
+            cf = coeffs[None, ..., None]
+            sr = sr * cf
+            si = si * cf
+        with jax.named_scope("fastsum_fft_forward"):
+            gr_dft, _ = spectral_forward_pruned_dft(
+                sr, si, dim, M, m, sigma, cells=cells_t, real_only=True
+            )
+        with jax.named_scope("fastsum_gather"):
+            return gather_binned_dft_slot(
+                target_plan, gr_dft, compact=cells_t is not None
+            )
 
     if M <= PRUNED_MAX:
         # Band-limited round trip in the DFT grid layout: the fastsum filter
