@@ -155,3 +155,48 @@ def test_gram_plan_cache_matches_unplanned(rng):
     assert mat2._plan_cache[0] is not None
     assert mat2._plan_cache[1] is mat2._plan_cache[0]  # symmetric: shared
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def _gram_planned(rng, n=3000, dim=2, C=2):
+    """A Gram matrix large enough that plans are built (slot-layout API)."""
+    pos, _ = make_points(rng, n, dim)
+    coeffs = tn.gaussian_analytic_coeffs(0.3, dim=dim, N=16)
+    gram = tn.GramMatrix(coeffs, pos, cutoff=4)
+    x = rng.random((n, C), dtype=np.float32)
+    return gram, x
+
+
+def test_gram_apply_slot_matches_apply(rng):
+    gram, x = _gram_planned(rng)
+    y = np.asarray(gram @ x)
+    v = gram.to_slot(x)
+    back = np.asarray(gram.from_slot(gram.apply_slot(v)))
+    assert np.abs(back - y).max() / np.abs(y).max() < 1e-5
+
+
+def test_gram_solve_kernel_ridge(rng):
+    """solve() returns z with (G + reg I) z ~= b (CG in slot layout)."""
+    gram, _ = _gram_planned(rng, C=1)
+    n = gram.shape[0]
+    b = rng.random(n, dtype=np.float32)
+    reg = 0.5
+    z = gram.solve(b, reg=reg, tol=1e-6, maxiter=200)
+    assert z.shape == (n,)
+    resid = np.asarray(gram @ z) + reg * np.asarray(z) - b
+    assert np.linalg.norm(resid) / np.linalg.norm(b) < 1e-4
+
+
+@pytest.mark.parametrize(
+    "normalization,shift",
+    [(None, None), ("sym", None), ("left", None), ("right", None),
+     (None, "laplacian"), ("sym", "signless")],
+)
+def test_adjacency_apply_slot_matches(rng, normalization, shift):
+    gram, x = _gram_planned(rng)
+    adj = tn.AdjacencyMatrix(
+        gram, diagonal_offset=1, normalization=normalization, shift=shift
+    )
+    y = np.asarray(adj @ x)
+    v = gram.to_slot(x)
+    back = np.asarray(gram.from_slot(adj.apply_slot(v)))
+    assert np.abs(back - y).max() / np.abs(y).max() < 1e-5

@@ -111,14 +111,22 @@ class GramMatrix(AbstractMatrix):
     # Small point sets skip planning (scatter/matmul are already fast there).
     _PLAN_THRESHOLD = 2048
 
-    def _plans(self):
-        if self._plan_cache is None:
+    def _plans(self, require=False):
+        cached = self._plan_cache
+        if cached is None or (require and cached[0] is None):
             src, tgt = self.sources, self.targets
-            if (
-                isinstance(src, jax.core.Tracer)
-                or isinstance(tgt, jax.core.Tracer)
-                or max(src.shape[0], tgt.shape[0]) < self._PLAN_THRESHOLD
-            ):
+            traced = isinstance(src, jax.core.Tracer) or isinstance(
+                tgt, jax.core.Tracer
+            )
+            small = max(src.shape[0], tgt.shape[0]) < self._PLAN_THRESHOLD
+            if traced or (small and not require):
+                if traced and require:
+                    raise ValueError(
+                        "the slot-layout operator API builds binned plans "
+                        "from the point sets, which requires concrete "
+                        "(non-traced) points — construct the operator "
+                        "outside jit"
+                    )
                 self._plan_cache = (None, None)
             else:
                 from ..ops.binned import build_plan
@@ -148,6 +156,100 @@ class GramMatrix(AbstractMatrix):
             source_plan=source_plan,
             target_plan=target_plan,
         )
+
+    # -- slot-layout (plan-native) API ---------------------------------------
+    # Iterated solvers (CG, power/Lanczos iteration) apply the operator to a
+    # vector many times on the SAME point sets. In user order every matvec
+    # pays two issue-bound point-order permutations (ops/binned.py slot
+    # docs); these methods let a solver convert once and iterate
+    # permutation-free in the plan's native slot layout.
+
+    def to_slot(self, x):
+        """(n_src, C) or (n_src,) user-order values -> source-plan slot
+        vector (C, S*K). See ``torch_nfft_tpu.to_slot_order``."""
+        from ..ops.binned import to_slot_order
+
+        sp, _ = self._plans(require=True)
+        x = jnp.asarray(x)
+        return to_slot_order(sp, x[:, None] if x.ndim == 1 else x)
+
+    def from_slot(self, v):
+        """Target-plan slot vector (C, S_tgt*K) -> (n_tgt, C) user order."""
+        from ..ops.binned import from_slot_order
+
+        _, tp = self._plans(require=True)
+        return from_slot_order(tp, v)
+
+    def apply_slot(self, v):
+        """Gram matvec in slot layout: a (C, S_src*K) slot vector of the
+        source plan -> (C, S_tgt*K) slot vector of the target plan, with no
+        point-order permutation anywhere (``nfft_fastsum_real(slot_io=True)``
+        on the plans this operator already caches)."""
+        from ..ops.nfft import _normalize_batch
+        from ..ops.planar import nfft_fastsum_real
+
+        sp, tp = self._plans(require=True)
+        N = self.coeffs.shape[0]
+        sb, bs_s = _normalize_batch(
+            self.source_batch, self.sources.shape[0], self.batch_size
+        )
+        tb, _ = _normalize_batch(
+            self.target_batch, self.targets.shape[0], self.batch_size
+        )
+        return nfft_fastsum_real(
+            v,
+            self.coeffs,
+            self.sources,
+            self.targets,
+            sb,
+            tb,
+            sp,
+            tp,
+            batch_size=bs_s,
+            N=N,
+            m=self.cutoff,
+            slot_io=True,
+        )
+
+    def solve(self, b, *, reg=0.0, tol=1e-5, maxiter=100):
+        """Solve ``(G + reg*I) z = b`` by conjugate gradients (kernel ridge
+        regression / interpolation). Requires a symmetric Gram matrix; use
+        ``reg > 0`` for a well-conditioned positive-definite system.
+
+        When plans are available (concrete points), the CG iteration runs
+        entirely in the slot layout — the point-order permutations are paid
+        once at entry and exit instead of once per matvec (1.57x per matvec
+        at n=4.2M, 3D N=256; examples/bench_fastsum_slot.py)."""
+        if not self.is_symmetric():
+            raise ValueError("GramMatrix.solve requires a symmetric operator")
+        b = jnp.asarray(b)
+        squeeze = b.ndim == 1
+        b2 = b[:, None] if squeeze else b
+
+        sp = None
+        if not isinstance(self.sources, jax.core.Tracer):
+            sp, _ = self._plans(require=True)
+        z = None
+        if sp is not None:
+            from ..ops.binned import from_slot_order, to_slot_order
+
+            try:
+                vb = to_slot_order(sp, b2)
+                z, _ = jax.scipy.sparse.linalg.cg(
+                    lambda u: self.apply_slot(u) + reg * u, vb,
+                    tol=tol, maxiter=maxiter,
+                )
+                z = from_slot_order(sp, z)
+            except ValueError:
+                # plan not fold-capable for this geometry (slot_io's loud
+                # trace-time check) — iterate in user order instead.
+                z = None
+        if z is None:
+            z, _ = jax.scipy.sparse.linalg.cg(
+                lambda u: self.apply(u) + reg * u, b2,
+                tol=tol, maxiter=maxiter,
+            )
+        return z[:, 0] if squeeze else z
 
     def is_symmetric(self):
         # Fixed vs the reference (matrices.py:65 compares sources to itself).
@@ -301,6 +403,46 @@ class AdjacencyMatrix(AbstractMatrix):
             y = y + self.diagonal_offset * Dx
         y = self.apply_left_normalization(y)
         return self.apply_shift(x, y)
+
+    # -- slot-layout API ------------------------------------------------------
+    # Every non-Gram step of apply() is diagonal (degree scalings, the
+    # diagonal offset, the shift combination), and diagonal scaling commutes
+    # with slotting (a zero-padded permutation): slot the degree vectors once
+    # and the whole adjacency/Laplacian matvec runs permutation-free — e.g.
+    # for Lanczos eigensolves of graph Laplacians.
+
+    def _slot_diag(self, name):
+        cache = getattr(self, "_slot_cache", None)
+        if cache is None:
+            cache = self._slot_cache = {}
+        if name not in cache:
+            from ..ops.binned import to_slot_order
+
+            sp, _ = self.gram_matrix._plans(require=True)
+            cache[name] = to_slot_order(sp, getattr(self, name)[:, None])
+        return cache[name]  # (1, S*K), broadcasts over columns
+
+    def apply_slot(self, v):
+        """apply() on a slot vector (C, S*K) of the Gram matrix's plan (the
+        operator is symmetric, so source and target layouts coincide)."""
+        norm = self.normalization
+        if norm == "sym":
+            Dx = self._slot_diag("d_inv_sqrt") * v
+        elif norm == "right":
+            Dx = self._slot_diag("d_inv") * v
+        else:
+            Dx = v
+        y = self.gram_matrix.apply_slot(Dx)
+        if self.diagonal_offset != 0:
+            y = y + self.diagonal_offset * Dx
+        if norm == "sym":
+            y = self._slot_diag("d_inv_sqrt") * y
+        elif norm == "left":
+            y = self._slot_diag("d_inv") * y
+        if self.shift == "none":
+            return y
+        x = self._slot_diag("degrees") * v if norm == "none" else v
+        return x + y if self.shift == "signless" else x - y
 
     def is_symmetric(self):
         return self.normalization not in ("left", "right")
