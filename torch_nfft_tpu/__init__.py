@@ -61,7 +61,7 @@ from .utils.points import (
     shift_points_by_center,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"  # keep in sync with pyproject.toml
 
 __all__ = [
     "nfft_forward",
