@@ -153,13 +153,16 @@ def _fold_simple(tiles_dense, plan, batch_size: int, C: int):
         # After folding the first d pairs they occupy axes [1, 1+d); the
         # current (nb, H) pair sits at (1+d, 2+d).
         ax = 1 + d
-        body = jax.lax.slice_in_dim(arr, 0, T, axis=ax + 1)
+        body_e = jax.lax.slice_in_dim(arr, 0, E, axis=ax + 1)
+        body_rest = jax.lax.slice_in_dim(arr, E, T, axis=ax + 1)
         tail = jax.lax.slice_in_dim(arr, T, H, axis=ax + 1)
         # tile b's tail lands at cells ((b+1)*T + v) mod M: roll the small
         # tail one tile forward (the wraparound IS the periodic boundary)
-        # and add it into the body's first E cells.
-        idx = (slice(None),) * (ax + 1) + (slice(0, E),)
-        body = body.at[idx].add(jnp.roll(tail, 1, axis=ax))
+        # and add it into the body's first E cells. Expressed as elementwise
+        # add + concat — XLA fuses these at full bandwidth, where the
+        # at[...].add scatter formulation measured ~2x slower.
+        merged = body_e + jnp.roll(tail, 1, axis=ax)
+        body = jnp.concatenate([merged, body_rest], axis=ax + 1)
         shp = arr.shape[:ax] + (M,) + arr.shape[ax + 2 :]
         arr = body.reshape(shp)
     return arr.reshape(batch_size * M**dim, C)
@@ -204,15 +207,16 @@ def _pair_fold(a, T: int, H: int, M: int, E: int):
 
     Tile b's tail (cells T..H-1) lands at cells ((b+1)*T + v) mod M — row
     b+1's first E body cells, with the roll's wraparound providing the
-    periodic boundary. Rolling the small (P, nb, E, Z, W) tail and adding it
-    into a static body slice moves ~(2 + 3E/T) array passes; the
-    pad-to-T-then-roll-the-full-array formulation this replaces moved ~2
-    extra full passes (pad write + padded roll)."""
+    periodic boundary. Formulated as elementwise add + concat of static
+    slices: measured A/B on TPU (examples/profile_fold_ab.py) — concat
+    ~16 ms/pass net at the batched 2 GiB shape vs ~32 for at[...].add
+    (scatter lowering) vs ~45 for pad-to-T + full-array roll + add."""
     P, nb, _, Z, W = a.shape
-    body = jax.lax.slice_in_dim(a, 0, T, axis=2)  # (P, nb, T, Z, W)
+    body_e = jax.lax.slice_in_dim(a, 0, E, axis=2)  # (P, nb, E, Z, W)
+    body_rest = jax.lax.slice_in_dim(a, E, T, axis=2)
     tail = jax.lax.slice_in_dim(a, T, H, axis=2)  # (P, nb, E, Z, W)
-    body = body.at[:, :, :E].add(jnp.roll(tail, 1, axis=1))
-    return body.reshape(P, M, Z, W)
+    merged = body_e + jnp.roll(tail, 1, axis=1)
+    return jnp.concatenate([merged, body_rest], axis=2).reshape(P, M, Z, W)
 
 
 def _fold3_dft(tiles_dense, plan, batch_size: int, C: int, compact: bool = False):
