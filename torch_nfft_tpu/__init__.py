@@ -54,6 +54,7 @@ from .ops.streaming import (
 )
 from . import parallel
 from .utils.diagnostics import accuracy_check
+from .utils.solve import eigsh_operator, lanczos
 from .utils.points import (
     compute_points_center,
     compute_points_radius,
@@ -98,6 +99,8 @@ __all__ = [
     "AbstractMatrix",
     "GaussianKernel",
     "accuracy_check",
+    "lanczos",
+    "eigsh_operator",
     "compute_points_center",
     "compute_points_radius",
     "shift_points_by_center",

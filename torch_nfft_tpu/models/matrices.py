@@ -27,6 +27,12 @@ from ..ops.nfft import nfft_fastsum
 __all__ = ["AbstractMatrix", "GramMatrix", "AdjacencyMatrix"]
 
 
+def _has_tracers(tree) -> bool:
+    return any(
+        isinstance(leaf, jax.core.Tracer) for leaf in jax.tree.leaves(tree)
+    )
+
+
 class AbstractMatrix:
     """Minimal matrix-free operator interface. Reference: matrices.py:5-37."""
 
@@ -139,6 +145,11 @@ class GramMatrix(AbstractMatrix):
                     if (self._symmetric and self.source_batch is self.target_batch)
                     else build_plan(tgt, self.target_batch, **kw)
                 )
+                if _has_tracers((sp, tp)):
+                    # built inside a jit/scan trace: the plan works for THIS
+                    # trace, but caching it would leak tracers into later
+                    # calls — rebuild next time instead.
+                    return (sp, tp)
                 self._plan_cache = (sp, tp)
         return self._plan_cache
 
@@ -419,7 +430,11 @@ class AdjacencyMatrix(AbstractMatrix):
             from ..ops.binned import to_slot_order
 
             sp, _ = self.gram_matrix._plans(require=True)
-            cache[name] = to_slot_order(sp, getattr(self, name)[:, None])
+            val = to_slot_order(sp, getattr(self, name)[:, None])
+            if _has_tracers(val):
+                # computed inside a jit/scan trace — do not cache tracers
+                return val
+            cache[name] = val
         return cache[name]  # (1, S*K), broadcasts over columns
 
     def apply_slot(self, v):

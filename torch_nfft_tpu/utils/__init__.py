@@ -1,4 +1,5 @@
-"""Utility helpers: point preprocessing, batch handling, diagnostics."""
+"""Utility helpers: point preprocessing, batch handling, diagnostics,
+iterative solvers."""
 
 from .diagnostics import accuracy_check
 from .points import (
@@ -7,6 +8,7 @@ from .points import (
     scale_points_by_norm,
     shift_points_by_center,
 )
+from .solve import eigsh_operator, lanczos
 
 __all__ = [
     "accuracy_check",
@@ -14,4 +16,6 @@ __all__ = [
     "compute_points_radius",
     "shift_points_by_center",
     "scale_points_by_norm",
+    "lanczos",
+    "eigsh_operator",
 ]
