@@ -428,6 +428,10 @@ def test_grid_sharded_layout_validation(rng):
         # N=32 -> M=64, T=32 -> nb=2 tiles per axis, not divisible by 8
         build_grid_sharded_layout(pos2d, n_shards=8, N=32, m=4, T=32)
 
+    with pytest.raises(ValueError, match="window halo"):
+        # T=8 < E=2m+1=9: the overlap-add spill would cross two tiles
+        build_grid_sharded_layout(pos2d, n_shards=4, N=16, m=4, T=8)
+
 
 def test_grid_sharded_empty_shard(rng, gmesh):
     """A slab with zero points must still produce correct (zero-contribution)

@@ -112,6 +112,11 @@ def build_grid_sharded_layout(
         T = default_tile(dim, m, M)
     if M % T:
         raise ValueError(f"M={M} must be divisible by the tile size T={T}")
+    if T < 2 * m + 1:
+        raise ValueError(
+            f"tile size T={T} must be >= the window halo E=2m+1={2 * m + 1}"
+            " (the overlap-add spill must fit one neighbouring tile)"
+        )
     nb = M // T
     if nb % n_shards:
         raise ValueError(
@@ -182,14 +187,22 @@ def _local_tile_ids(plan: BinnedPlan, A0_loc: int, shard_idx):
 
 def _pair_fold_nowrap(a, T: int, H: int, L: int, E: int):
     """(P, nb, H, Z, W) -> (P, L + T, Z, W) overlap-add with NO periodic
-    wrap: cells [L, L+E) hold the spill for the next slab."""
+    wrap: cells [L, L+E) hold the spill for the next slab. Elementwise add +
+    concat of static slices (the scatter/pad-roll formulations measure 2-3x
+    slower; see tilefold._pair_fold)."""
     Pp, nb, _, Z, W = a.shape
-    body = jax.lax.slice_in_dim(a, 0, T, axis=2).reshape(Pp, L, Z, W)
-    body = jnp.pad(body, ((0, 0), (0, T), (0, 0), (0, 0)))
+    body_e = jax.lax.slice_in_dim(a, 0, E, axis=2)
+    body_rest = jax.lax.slice_in_dim(a, E, T, axis=2)
     tail = jax.lax.slice_in_dim(a, T, H, axis=2)
-    tail = jnp.pad(tail, ((0, 0), (0, 0), (0, T - E), (0, 0), (0, 0)))
-    tail = jnp.pad(tail.reshape(Pp, L, Z, W), ((0, 0), (T, 0), (0, 0), (0, 0)))
-    return body + tail
+    # block b's first E cells receive block b-1's tail (no wrap: block 0
+    # receives nothing; the last tail becomes the spill block)
+    shifted = jnp.pad(tail, ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))[:, :nb]
+    merged = body_e + shifted
+    out = jnp.concatenate([merged, body_rest], axis=2).reshape(Pp, L, Z, W)
+    spill = jnp.pad(
+        tail[:, nb - 1], ((0, 0), (0, T - E), (0, 0), (0, 0))
+    )  # (P, T, Z, W)
+    return jnp.concatenate([out, spill], axis=1)
 
 
 def _pair_unfold_nowrap(g_ext, T: int, H: int, L: int, E: int, nb: int):
@@ -219,7 +232,9 @@ def _fold_dft_slab(tiles_dense, plan, C: int, A0_loc: int, axis_name,
         body = jax.lax.slice_in_dim(g, 0, L0, axis=1)
         spill = jax.lax.slice_in_dim(g, L0, L0 + E, axis=1)
         recv = jax.lax.ppermute(spill, axis_name, perm)
-        body = body.at[:, :E].add(recv)
+        body = jnp.concatenate(
+            [body[:, :E] + recv, body[:, E:]], axis=1
+        )
         g = body.transpose(0, 2, 3, 1)  # (1, Z0, W0, L0)
         a = g.reshape(1, nb, C, H, L0).transpose(0, 1, 3, 2, 4)
         g = _pair_fold(a, T, H, M, E)  # (1, M, C, L0)
@@ -232,7 +247,7 @@ def _fold_dft_slab(tiles_dense, plan, C: int, A0_loc: int, axis_name,
     body = jax.lax.slice_in_dim(g, 0, L0, axis=1)
     spill = jax.lax.slice_in_dim(g, L0, L0 + E, axis=1)
     recv = jax.lax.ppermute(spill, axis_name, perm)
-    body = body.at[:, :E].add(recv)
+    body = jnp.concatenate([body[:, :E] + recv, body[:, E:]], axis=1)
     g = body.transpose(0, 2, 3, 1)  # (1, Z0, W0, L0): minor L0
     a = g.reshape(1, nb, nb * C, H, H * L0).transpose(0, 1, 3, 2, 4)
     g = _pair_fold(a, T, H, M, E)  # (1, M1, A2*C, H2*L0)
