@@ -154,7 +154,65 @@ def main():
         d_xs,
     )
 
-    # 6. single fused (key, val) sort via 64-bit packing: key in high 32
+    # 6. LOCAL permutation stages. Any global permutation routes through a
+    #    3-stage Clos decomposition (Slepian-Duguid): within-column perm ->
+    #    (r, c) transpose -> within-row perm -> transpose -> within-column
+    #    perm, with the routing computed once per plan on the host. Each
+    #    stage is a LOCAL gather (take_along_axis); if those vectorize
+    #    better than flat element gathers, the 3-stage route wins even
+    #    paying two transposes. Measure the building blocks:
+    for c in (128, 256, 1024):
+        r = n // c
+        x2 = d_x.reshape(r, c)
+        idx_row = jnp.asarray(
+            np.argsort(rng.random((r, c)), axis=1).astype(np.int32))
+        timed(
+            f"take_along rows (r,{c}) axis=1",
+            loop(lambda v, idx: jnp.take_along_axis(v, idx, axis=1)),
+            x2, idx_row,
+        )
+        idx_col = jnp.asarray(
+            np.argsort(rng.random((r, c)), axis=0).astype(np.int32))
+        timed(
+            f"take_along cols ({r},c) axis=0",
+            loop(lambda v, idx: jnp.take_along_axis(v, idx, axis=0)),
+            x2, idx_col,
+        )
+    r = n // 128
+    timed(
+        "transpose (r,128)->(128,r)",
+        loop(lambda v, idx: v.reshape(r, 128).T.reshape(r, 128) * 1.0),
+        d_x.reshape(r, 128), d_perm_n[:128],
+    )
+
+    # 7. within-row permutation as a batched ONE-HOT matmul (MXU route):
+    #    y[b] = P_b @ x[b] with P_b a c x c one-hot matrix, bf16 operands.
+    #    Storage n*c bytes per stage — only viable for small c; measures
+    #    whether the MXU formulation escapes the gather issue bound.
+    for c in (128,):
+        r = n // c
+        perm_rows = np.argsort(
+            rng.random((r, c)), axis=1).astype(np.int32)  # (r, c)
+        # one-hot built ON DEVICE (the bench tunnel ships ~2 MB/s; only the
+        # (r, c) int32 index table crosses the link): oh[b, k, j] = 1 iff
+        # k == perm_rows[b, j], so contracting x's lane axis with oh's k
+        # axis applies the within-row gather on the MXU.
+        d_oh = jax.jit(
+            lambda p: jax.nn.one_hot(p, c, axis=1, dtype=jnp.bfloat16)
+        )(jnp.asarray(perm_rows))
+        x2 = d_x.reshape(r, 1, c).astype(jnp.bfloat16)
+
+        def oh_apply(v, oh):
+            y = jax.lax.dot_general(
+                v, oh,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (r, 1, c)
+            return y.astype(jnp.bfloat16)
+
+        timed(f"one-hot bmm rows (r,{c}) bf16", loop(oh_apply), x2, d_oh)
+
+    # 8. single fused (key, val) sort via 64-bit packing: key in high 32
     #    bits. i64 may not be supported on all TPU runtimes; guarded.
     try:
         def packed(v, idx):
