@@ -158,6 +158,125 @@ def test_coeff_helpers_roundtrip():
     assert torch.allclose(rad, r2.sqrt(), atol=1e-6)
 
 
+def test_gaussian_kernel_to_dense_matches_exact(rng):
+    """Reference test_kernel.py:22-54: GaussianKernel end-to-end, batched,
+    both scaling modes, to_dense vs the exact Gaussian matrix."""
+    n_per, b, dim, N, m = 15, 2, 2, 16, 4
+    n = n_per * b
+    diameter = 10.0
+    pos = torch.tensor(
+        (diameter * (rng.random((n, dim)) - 0.5)).astype(np.float32)
+    )
+    batch = torch.arange(b).repeat_interleave(n_per)
+
+    # absolute sigma + a-priori radius (test_kernel.py:24-35): the exact
+    # Gaussian on the ORIGINAL points is the oracle
+    kernel = tc.GaussianKernel(
+        diameter, dim=dim, bandwidth=N, cutoff=m,
+        shift_by_center=True, max_infinity_norm=diameter / 2,
+    )
+    matrix = kernel(pos, batch=batch)
+    assert isinstance(matrix, tc.GramMatrix)
+    assert matrix.is_symmetric()
+    dense = matrix.to_dense()
+    exact = tc.exact_gaussian_matrix(diameter, pos, batch=batch)
+    rel = float((dense - exact).abs().max() / exact.abs().max())
+    assert rel < 5e-2
+
+    # relative sigma (per-call scale-by-norm, test_kernel.py:39-54): oracle
+    # on the shifted + unit-infinity-norm-scaled points
+    from torch_nfft_tpu.utils.points import (
+        scale_points_by_norm,
+        shift_points_by_center,
+    )
+
+    kernel = tc.GaussianKernel(1.0, dim=dim, bandwidth=N, cutoff=m)
+    dense = kernel(pos, batch=batch).to_dense()
+    shifted = shift_points_by_center(pos.numpy(), batch=batch.numpy())[0]
+    scaled = scale_points_by_norm(
+        shifted, batch=batch.numpy(), norm="infinity"
+    )[0]
+    exact = tc.exact_gaussian_matrix(1.0, np.asarray(scaled), batch=batch)
+    rel = float((dense - exact).abs().max() / exact.abs().max())
+    assert rel < 5e-2
+
+
+def test_gram_matrix_class_symmetry_and_transpose(rng):
+    n, dim, N, m = 25, 2, 8, 3
+    src = _points(rng, n, dim)
+    tgt = _points(rng, n + 5, dim)
+    coeffs = tc.gaussian_analytic_coeffs(0.7, dim=dim, N=N)
+
+    sym = tc.GramMatrix(coeffs, src, src)  # same tensor => symmetric
+    assert sym.is_symmetric()  # fixed vs reference matrices.py:65
+    asym = tc.GramMatrix(coeffs, src, tgt)
+    assert not asym.is_symmetric()
+    assert asym.shape == (n + 5, n)
+
+    dense = asym.to_dense()
+    dense_t = asym.T.to_dense()
+    assert torch.allclose(dense_t, dense.T, atol=1e-5)
+    assert torch.allclose(asym.column_sums(), dense.sum(0), atol=1e-4)
+
+
+def test_adjacency_matrix_class_pipeline(rng):
+    """sym-normalized Laplacian matvec == dense computation from the Gram
+    to_dense (degrees, D^-1/2 A D^-1/2, shift), reference matrices.py:74-175
+    with the apply_shift bug fixed."""
+    n, dim, N, m = 30, 2, 8, 3
+    pos = _points(rng, n, dim)
+    kernel = tc.GaussianKernel(0.8, dim=dim, bandwidth=N, cutoff=m,
+                               analytic=True, max_infinity_norm=1.0)
+    adj = kernel.adjacency_matrix(
+        pos, loop_weight=2.0, normalization="sym", shift="laplacian"
+    )
+    gram_dense = kernel(pos).to_dense().double()
+    a_dense = gram_dense + (2.0 - 1.0) * torch.eye(n).double()
+    deg = a_dense.sum(1)
+    dinv = deg.rsqrt()
+    lap = torch.eye(n).double() - dinv[:, None] * a_dense * dinv[None, :]
+
+    x = torch.tensor(rng.standard_normal((n, 2)).astype(np.float32))
+    got = adj @ x
+    want = (lap @ x.double()).to(torch.float32)
+    assert float((got - want).abs().max()) < 1e-4
+    assert adj.is_symmetric()
+
+
+def test_adjacency_left_normalization_transpose(rng):
+    n, dim, N = 24, 2, 8
+    pos = _points(rng, n, dim)
+    kernel = tc.GaussianKernel(0.8, dim=dim, bandwidth=N, cutoff=3,
+                               analytic=True, max_infinity_norm=1.0)
+    adj = kernel.adjacency_matrix(pos, normalization="rw")
+    assert not adj.is_symmetric()
+    dense = adj.to_dense()
+    dense_t = adj.T.to_dense()
+    assert torch.allclose(dense_t, dense.T, atol=1e-5)
+    # rows of a random-walk matrix sum to 1
+    assert torch.allclose(dense.sum(1), torch.ones(n), atol=1e-4)
+
+
+def test_class_matvec_autograd(rng):
+    """torch autograd flows through `matrix @ x` (backward = A^T dy)."""
+    n, dim, N, m = 25, 2, 8, 3
+    pos = _points(rng, n, dim)
+    kernel = tc.GaussianKernel(0.8, dim=dim, bandwidth=N, cutoff=m,
+                               analytic=True, max_infinity_norm=1.0)
+    matrix = kernel(pos)
+    x = torch.tensor(rng.standard_normal((n, 1)).astype(np.float32))
+    x.requires_grad_(True)
+    loss = ((matrix @ x) ** 2).sum()
+    loss.backward()
+
+    eps = 1e-3
+    xp = x.detach().clone()
+    xp[11, 0] += eps
+    lp = ((matrix @ xp) ** 2).sum()
+    fd = (float(lp) - float(loss)) / eps
+    assert abs(fd - float(x.grad[11, 0])) < 5e-2 * max(1.0, abs(fd))
+
+
 def test_complex_input_adjoint(rng):
     """Complex x through the compat layer (CPU backend has complex FFT)."""
     n, N, m = 50, 16, 4

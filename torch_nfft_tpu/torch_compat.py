@@ -49,6 +49,9 @@ __all__ = [
     "ndft_fastsum",
     "exact_trigonometric_matrix",
     "exact_gaussian_matrix",
+    "GramMatrix",
+    "AdjacencyMatrix",
+    "GaussianKernel",
 ]
 
 
@@ -254,3 +257,191 @@ def exact_gaussian_matrix(sigma, sources, targets=None, source_batch=None,
             _to_jax(source_batch), _to_jax(target_batch), batch=_to_jax(batch),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Class layer: GramMatrix / AdjacencyMatrix / GaussianKernel on torch tensors.
+#
+# Thin veneers over the JAX operator classes (torch_nfft_tpu.models), which
+# own the math: plan caching across matvecs, degree computation with the
+# negative-degree warning, the reference's two fixed bugs (is_symmetric,
+# apply_shift — SURVEY.md section 2.4). The torch side adds autograd: every
+# operator is linear, so the backward of `A @ x` is `A.T @ dy`, applied
+# through the same JAX pipelines (reference matrices.py:5-175, kernel.py:69-126).
+# ---------------------------------------------------------------------------
+
+
+class _OperatorMatvec(torch.autograd.Function):
+    """Autograd through a matvec with a (linear) JAX operator."""
+
+    @staticmethod
+    def forward(ctx, x, jax_op, jax_op_T):
+        ctx.jax_op_T = jax_op_T
+        return _to_torch(jax_op.apply(_to_jax(x)))
+
+    @staticmethod
+    def backward(ctx, dy):
+        return _to_torch(ctx.jax_op_T.apply(_to_jax(dy))), None, None
+
+
+class _TorchMatrix:
+    """Torch-facing mirror of the reference AbstractMatrix (matrices.py:5-37),
+    delegating to a JAX operator held in ``_jax``."""
+
+    def __init__(self, jax_op, device=None):
+        self._jax = jax_op
+        self._jax_T = None  # cached transposed operator (shares plan reuse)
+        self.shape = tuple(jax_op.shape)
+        self.device = torch.device("cpu") if device is None else device
+
+    def _transposed_jax(self):
+        if self._jax_T is None:
+            self._jax_T = self._jax.T
+        return self._jax_T
+
+    def apply(self, x):
+        return _OperatorMatvec.apply(x, self._jax, self._transposed_jax())
+
+    def __matmul__(self, x):
+        return self.apply(x)
+
+    def is_symmetric(self):
+        return self._jax.is_symmetric()
+
+    def transpose(self):
+        if self.is_symmetric():
+            return self
+        # a generic transposed view (matvec + sums); subclass-specific
+        # attributes (sources/targets, ...) live on the original operator
+        return _TorchMatrix(self._transposed_jax(), self.device)
+
+    @property
+    def T(self):
+        return self.transpose()
+
+    def row_sums(self):
+        return self.apply(torch.ones(self.shape[1]))
+
+    def column_sums(self):
+        return self.T.row_sums()
+
+    def to_dense(self):
+        return self.apply(torch.eye(self.shape[1]))
+
+
+class GramMatrix(_TorchMatrix):
+    """Reference-parity lazy Gram matrix on torch tensors (matrices.py:40-70).
+
+    ``(matrix @ x)[t] ~= sum_s K(sources[s] - targets[t]) x[s]`` via the
+    NFFT fastsum; matvecs carry torch autograd (backward applies the
+    transposed operator, i.e. sources/targets swapped — nfft.py:82-88)."""
+
+    def __init__(self, coeffs, sources, targets=None, source_batch=None,
+                 target_batch=None, /, batch=None, cutoff=3):
+        from .models.matrices import GramMatrix as _JaxGram
+
+        # torch-identity symmetry, like the C++ sources.is_same(targets)
+        # (core_cuda.cu:552); the reference's Python check is the known
+        # always-True bug (matrices.py:65).
+        if targets is sources:
+            targets = None
+            target_batch = source_batch
+        jax_op = _JaxGram(
+            _to_jax(coeffs), _to_jax(sources), _to_jax(targets),
+            _to_jax(source_batch), _to_jax(target_batch),
+            batch=_to_jax(batch), cutoff=cutoff,
+        )
+        device = sources.device if isinstance(sources, torch.Tensor) else None
+        super().__init__(jax_op, device)
+        self.coeffs = coeffs
+        self.sources = sources
+        self.targets = sources if targets is None else targets
+        self.source_batch = source_batch
+        self.target_batch = target_batch if targets is not None else source_batch
+        self.cutoff = cutoff
+
+
+class AdjacencyMatrix(_TorchMatrix):
+    """Reference-parity graph adjacency operator (matrices.py:74-175):
+    diagonal (self-loop) offset, "sym"/"left"/"right"/"rw" degree
+    normalization, Laplacian / signless shift, degree threshold warning."""
+
+    def __init__(self, gram_matrix, diagonal_offset=0, normalization=None,
+                 shift=None, degree_threshold=0):
+        from .models.matrices import AdjacencyMatrix as _JaxAdj
+
+        if not isinstance(gram_matrix, GramMatrix):
+            raise TypeError(
+                "AdjacencyMatrix expects a torch_compat.GramMatrix; build one "
+                "via GramMatrix(...) or GaussianKernel(...).gram_matrix(...)"
+            )
+        jax_op = _JaxAdj(
+            gram_matrix._jax, diagonal_offset=diagonal_offset,
+            normalization=normalization, shift=shift,
+            degree_threshold=degree_threshold,
+        )
+        super().__init__(jax_op, gram_matrix.device)
+        self.gram_matrix = gram_matrix
+        self.diagonal_offset = diagonal_offset
+        self.normalization = jax_op.normalization
+        self.shift = jax_op.shift
+
+
+class GaussianKernel:
+    """Reference-parity Gaussian kernel front-end (kernel.py:69-126) on torch
+    tensors: precomputes coefficients once, produces GramMatrix /
+    AdjacencyMatrix per point set, with both scaling modes (a-priori radius
+    vs per-call scale-by-norm) and center shifting."""
+
+    def __init__(self, sigma, dim=3, bandwidth=16, cutoff=3,
+                 shift_by_center=True, max_euclidean_norm=None,
+                 max_infinity_norm=None, analytic=False, reg_degree=-1,
+                 reg_width=0.0):
+        from .models.kernel import GaussianKernel as _JaxKernel
+
+        self._jax = _JaxKernel(
+            sigma, dim=dim, bandwidth=bandwidth, cutoff=cutoff,
+            shift_by_center=shift_by_center,
+            max_euclidean_norm=max_euclidean_norm,
+            max_infinity_norm=max_infinity_norm, analytic=analytic,
+            reg_degree=reg_degree, reg_width=reg_width,
+        )
+        self.cutoff = cutoff
+        self.shift_by_center = shift_by_center
+        self.scale_by_norm = self._jax.scale_by_norm
+        self.factor = self._jax.factor
+        self.coeffs = _to_torch(self._jax.coeffs)
+
+    def gram_matrix(self, sources, targets=None, source_batch=None,
+                    target_batch=None, /, batch=None):
+        """kernel.py:99-116 on torch tensors; returns a torch GramMatrix."""
+        if targets is sources:
+            targets = None
+            target_batch = source_batch
+        jax_op = self._jax.gram_matrix(
+            _to_jax(sources), _to_jax(targets), _to_jax(source_batch),
+            _to_jax(target_batch), batch=_to_jax(batch),
+        )
+        device = sources.device if isinstance(sources, torch.Tensor) else None
+        out = GramMatrix.__new__(GramMatrix)
+        _TorchMatrix.__init__(out, jax_op, device)
+        out.coeffs = self.coeffs
+        out.sources = sources
+        out.targets = sources if targets is None else targets
+        out.source_batch = batch if batch is not None else source_batch
+        out.target_batch = batch if batch is not None else (
+            target_batch if targets is not None else source_batch)
+        out.cutoff = self.cutoff
+        return out
+
+    def __call__(self, *args, **kwargs):
+        return self.gram_matrix(*args, **kwargs)
+
+    def adjacency_matrix(self, sources, batch=None, loop_weight=1,
+                         normalization=None, shift=None, degree_threshold=0):
+        """kernel.py:123-126 on torch tensors."""
+        return AdjacencyMatrix(
+            self.gram_matrix(sources, batch=batch),
+            diagonal_offset=loop_weight - 1, normalization=normalization,
+            shift=shift, degree_threshold=degree_threshold,
+        )
