@@ -11,6 +11,12 @@ Public API parity with the reference package ``torch_nfft/__init__.py:14-20``.
 """
 
 from .models.kernel import GaussianKernel
+from .models.radial import (
+    InverseMultiquadricKernel,
+    LaplaceKernel,
+    MaternKernel,
+    RadialKernel,
+)
 from .models.matrices import AbstractMatrix, AdjacencyMatrix, GramMatrix
 from .ops.coeffs import (
     gaussian_analytic_coeffs,
@@ -21,6 +27,7 @@ from .ops.coeffs import (
 )
 from .ops.ndft import (
     exact_gaussian_matrix,
+    exact_radial_matrix,
     exact_trigonometric_matrix,
     ndft_adjoint,
     ndft_fastsum,
@@ -89,6 +96,7 @@ __all__ = [
     "ndft_fastsum",
     "exact_trigonometric_matrix",
     "exact_gaussian_matrix",
+    "exact_radial_matrix",
     "gaussian_analytic_coeffs",
     "gaussian_interpolated_coeffs",
     "interpolation_grid",
@@ -98,6 +106,10 @@ __all__ = [
     "AdjacencyMatrix",
     "AbstractMatrix",
     "GaussianKernel",
+    "RadialKernel",
+    "LaplaceKernel",
+    "MaternKernel",
+    "InverseMultiquadricKernel",
     "accuracy_check",
     "lanczos",
     "eigsh_operator",

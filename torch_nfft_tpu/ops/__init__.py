@@ -9,6 +9,7 @@ from .coeffs import (
 )
 from .ndft import (
     exact_gaussian_matrix,
+    exact_radial_matrix,
     exact_trigonometric_matrix,
     ndft_adjoint,
     ndft_fastsum,
@@ -26,6 +27,7 @@ __all__ = [
     "ndft_fastsum",
     "exact_trigonometric_matrix",
     "exact_gaussian_matrix",
+    "exact_radial_matrix",
     "gaussian_analytic_coeffs",
     "gaussian_interpolated_coeffs",
     "interpolation_grid",

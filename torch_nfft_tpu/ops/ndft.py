@@ -21,6 +21,7 @@ __all__ = [
     "ndft_fastsum",
     "exact_trigonometric_matrix",
     "exact_gaussian_matrix",
+    "exact_radial_matrix",
 ]
 
 
@@ -186,6 +187,42 @@ def exact_gaussian_matrix(
         t2 = jnp.sum(target_part**2, axis=1, keepdims=True)
         sq = t2 - 2 * target_part @ source_part.T + s2.T
         return jnp.exp(-sq / (sigma**2))
+
+    if source_batch is None:
+        return single(sources, targets)
+    source_batch = np.asarray(source_batch)
+    target_batch = np.asarray(target_batch)
+    batch_size = int(source_batch.max()) + 1
+    return _block_diag(
+        [
+            single(sources[source_batch == b], targets[target_batch == b])
+            for b in range(batch_size)
+        ]
+    )
+
+
+def exact_radial_matrix(
+    profile, sources, targets=None, source_batch=None, target_batch=None, batch=None
+):
+    """Dense radial kernel matrix ``profile(||s - t||)``.
+
+    Generalizes :func:`exact_gaussian_matrix` (reference ndft.py:98-117) to an
+    arbitrary radial profile; the oracle for :class:`RadialKernel` and its
+    subclasses. ``profile`` takes a NumPy float64 array of distances.
+    """
+    sources = np.asarray(sources, dtype=np.float64)
+    if targets is None:
+        targets = sources
+        target_batch = source_batch
+    targets = np.asarray(targets, dtype=np.float64)
+    if batch is not None:
+        source_batch = batch
+        target_batch = batch
+
+    def single(source_part, target_part):
+        diff = target_part[:, None, :] - source_part[None, :, :]
+        r = np.sqrt(np.sum(diff * diff, axis=-1))
+        return jnp.asarray(np.asarray(profile(r), dtype=np.float64))
 
     if source_batch is None:
         return single(sources, targets)
