@@ -290,3 +290,38 @@ def test_complex_input_adjoint(rng):
     ref = tc.ndft_adjoint(x, pos, N=N)
     rel = torch.linalg.norm(y - ref) / torch.linalg.norm(ref)
     assert float(rel) < 1e-3
+
+
+def test_radial_kernels_match_jax_layer(rng):
+    """The torch radial veneers produce the same dense operators as the
+    JAX RadialKernel family they wrap."""
+    import torch_nfft_tpu as tn
+
+    pos_np = ((rng.random((40, 2)) * 2 - 1) * 3.0).astype(np.float32)
+    pos = torch.tensor(pos_np)
+
+    for tc_cls, tn_cls, kwargs in [
+        (tc.LaplaceKernel, tn.LaplaceKernel, dict(sigma=1.0)),
+        (tc.MaternKernel, tn.MaternKernel, dict(sigma=1.0, nu=1.5)),
+        (tc.InverseMultiquadricKernel, tn.InverseMultiquadricKernel,
+         dict(sigma=1.0)),
+    ]:
+        kt = tc_cls(dim=2, bandwidth=16, cutoff=4, **kwargs)
+        kj = tn_cls(dim=2, bandwidth=16, cutoff=4, **kwargs)
+        A_t = kt(pos).to_dense()
+        A_j = np.asarray(kj(pos_np).to_dense())
+        assert isinstance(A_t, torch.Tensor)
+        assert np.abs(A_t.numpy() - A_j).max() < 1e-6
+
+
+def test_radial_custom_profile_and_matvec_autograd(rng):
+    """Custom profile through the torch veneer; matvec supports autograd
+    through the operator like the other torch matrices."""
+    pos = torch.tensor(((rng.random((30, 2)) * 2 - 1)).astype(np.float32))
+    k = tc.RadialKernel(lambda r: np.exp(-r * r), dim=2, bandwidth=16, cutoff=4)
+    mat = k(pos)
+    x = torch.tensor(rng.standard_normal((30,)).astype(np.float32),
+                     requires_grad=True)
+    y = mat @ x
+    y.sum().backward()
+    assert x.grad is not None and torch.isfinite(x.grad).all()

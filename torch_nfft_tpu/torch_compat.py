@@ -52,6 +52,10 @@ __all__ = [
     "GramMatrix",
     "AdjacencyMatrix",
     "GaussianKernel",
+    "RadialKernel",
+    "LaplaceKernel",
+    "MaternKernel",
+    "InverseMultiquadricKernel",
 ]
 
 
@@ -387,30 +391,20 @@ class AdjacencyMatrix(_TorchMatrix):
         self.shift = jax_op.shift
 
 
-class GaussianKernel:
-    """Reference-parity Gaussian kernel front-end (kernel.py:69-126) on torch
-    tensors: precomputes coefficients once, produces GramMatrix /
-    AdjacencyMatrix per point set, with both scaling modes (a-priori radius
-    vs per-call scale-by-norm) and center shifting."""
+class _KernelFrontend:
+    """Shared torch veneer over a JAX kernel front-end: wraps the JAX object
+    in ``self._jax`` and produces torch GramMatrix / AdjacencyMatrix."""
 
-    def __init__(self, sigma, dim=3, bandwidth=16, cutoff=3,
-                 shift_by_center=True, max_euclidean_norm=None,
-                 max_infinity_norm=None, analytic=False, reg_degree=-1,
-                 reg_width=0.0):
-        from .models.kernel import GaussianKernel as _JaxKernel
-
-        self._jax = _JaxKernel(
-            sigma, dim=dim, bandwidth=bandwidth, cutoff=cutoff,
-            shift_by_center=shift_by_center,
-            max_euclidean_norm=max_euclidean_norm,
-            max_infinity_norm=max_infinity_norm, analytic=analytic,
-            reg_degree=reg_degree, reg_width=reg_width,
-        )
-        self.cutoff = cutoff
-        self.shift_by_center = shift_by_center
-        self.scale_by_norm = self._jax.scale_by_norm
-        self.factor = self._jax.factor
-        self.coeffs = _to_torch(self._jax.coeffs)
+    def _adopt(self, jax_kernel):
+        self._jax = jax_kernel
+        self.cutoff = jax_kernel.cutoff
+        self.shift_by_center = jax_kernel.shift_by_center
+        self.scale_by_norm = jax_kernel.scale_by_norm
+        self.factor = jax_kernel.factor
+        self.coeffs = _to_torch(jax_kernel.coeffs)
+        for attr in ("sigma", "nu", "profile"):
+            if hasattr(jax_kernel, attr):
+                setattr(self, attr, getattr(jax_kernel, attr))
 
     def gram_matrix(self, sources, targets=None, source_batch=None,
                     target_batch=None, /, batch=None):
@@ -445,3 +439,54 @@ class GaussianKernel:
             diagonal_offset=loop_weight - 1, normalization=normalization,
             shift=shift, degree_threshold=degree_threshold,
         )
+
+
+class GaussianKernel(_KernelFrontend):
+    """Reference-parity Gaussian kernel front-end (kernel.py:69-126) on torch
+    tensors: precomputes coefficients once, produces GramMatrix /
+    AdjacencyMatrix per point set, with both scaling modes (a-priori radius
+    vs per-call scale-by-norm) and center shifting."""
+
+    def __init__(self, sigma, dim=3, bandwidth=16, cutoff=3,
+                 shift_by_center=True, max_euclidean_norm=None,
+                 max_infinity_norm=None, analytic=False, reg_degree=-1,
+                 reg_width=0.0):
+        from .models.kernel import GaussianKernel as _JaxKernel
+
+        self._adopt(_JaxKernel(
+            sigma, dim=dim, bandwidth=bandwidth, cutoff=cutoff,
+            shift_by_center=shift_by_center,
+            max_euclidean_norm=max_euclidean_norm,
+            max_infinity_norm=max_infinity_norm, analytic=analytic,
+            reg_degree=reg_degree, reg_width=reg_width,
+        ))
+
+
+class RadialKernel(_KernelFrontend):
+    """Arbitrary radial profile on torch tensors (extension; see
+    models/radial.py): same operator surface as GaussianKernel."""
+
+    _jax_factory_name = "RadialKernel"
+
+    def __init__(self, *args, **kwargs):
+        from .models import radial as _radial
+
+        self._adopt(getattr(_radial, self._jax_factory_name)(*args, **kwargs))
+
+
+class LaplaceKernel(RadialKernel):
+    """exp(-r / sigma) on torch tensors."""
+
+    _jax_factory_name = "LaplaceKernel"
+
+
+class MaternKernel(RadialKernel):
+    """Matern kernel (nu in {0.5, 1.5, 2.5}) on torch tensors."""
+
+    _jax_factory_name = "MaternKernel"
+
+
+class InverseMultiquadricKernel(RadialKernel):
+    """1 / sqrt(1 + (r/sigma)^2) on torch tensors."""
+
+    _jax_factory_name = "InverseMultiquadricKernel"
