@@ -1,0 +1,207 @@
+"""Exp-sqrt ("es") window: accuracy, engine parity, gradients, plan checks.
+
+The es window (ops/window.py) is an extension over the reference's fixed
+truncated Gaussian (spatial_window_operations.cu:3-28): at equal support
+width it is orders of magnitude more accurate, so the same accuracy comes at
+a smaller cutoff m — (2m+2)^dim less window work — and it tolerates lower
+oversampling sigma."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import torch_nfft_tpu as tn
+
+
+def _safe_points(rng, n, dim):
+    pos = (rng.random((n, dim), dtype=np.float32) - 0.5)
+    return pos / (4 * np.abs(pos).max())
+
+
+def _rel(a, b):
+    a = np.asarray(a)
+    b = np.asarray(b)
+    return float(np.linalg.norm(a - b) / np.linalg.norm(b))
+
+
+def test_es_beats_gaussian_at_equal_m(rng):
+    """es at m=2 reaches better accuracy than the Gaussian at m=4."""
+    n, dim, N = 1500, 2, 32
+    pos = _safe_points(rng, n, dim)
+    x = rng.standard_normal((n, 2)).astype(np.float32)
+    yr = np.asarray(tn.ndft_adjoint(x, pos, N=N))
+    err_es2 = _rel(tn.nfft_adjoint(x, pos, bandwidth=N, cutoff=2,
+                                   window="es", strategy="scatter"), yr)
+    err_g4 = _rel(tn.nfft_adjoint(x, pos, bandwidth=N, cutoff=4,
+                                  strategy="scatter"), yr)
+    err_es4 = _rel(tn.nfft_adjoint(x, pos, bandwidth=N, cutoff=4,
+                                   window="es", strategy="scatter"), yr)
+    assert err_es2 < err_g4 < 2e-4
+    assert err_es4 < 1e-5  # f32-floor class
+
+
+@pytest.mark.parametrize("strategy", ["scatter", "matmul", "binned"])
+def test_es_adjoint_engines_agree_with_oracle(rng, strategy):
+    n, dim, N, m = 1200, 2, 32, 2
+    pos = _safe_points(rng, n, dim)
+    x = rng.standard_normal((n, 3)).astype(np.float32)
+    y = tn.nfft_adjoint(x, pos, bandwidth=N, cutoff=m, window="es",
+                        strategy=strategy)
+    yr = tn.ndft_adjoint(x, pos, N=N)
+    assert _rel(y, yr) < 3e-5
+
+
+def test_es_forward_vs_oracle(rng):
+    n, dim, N, m = 800, 2, 32, 2
+    pos = _safe_points(rng, n, dim)
+    x = (rng.standard_normal((1, N, N, 2))
+         + 1j * rng.standard_normal((1, N, N, 2))).astype(np.complex64)
+    y = tn.nfft_forward(x, pos, cutoff=m, window="es", strategy="scatter")
+    yr = tn.ndft_forward(x, pos)
+    assert _rel(y, yr) < 3e-5
+
+
+def test_es_lower_oversampling(rng):
+    """es keeps ~1e-4-class accuracy at sigma=1.5 where the grid has
+    (1.5/2)^dim the volume; the Gaussian window degrades badly there."""
+    n, dim, N = 1200, 2, 32
+    pos = _safe_points(rng, n, dim)
+    x = rng.standard_normal((n, 2)).astype(np.float32)
+    yr = np.asarray(tn.ndft_adjoint(x, pos, N=N))
+    err_es = _rel(tn.nfft_adjoint(x, pos, bandwidth=N, cutoff=3, sigma=1.5,
+                                  window="es", strategy="scatter"), yr)
+    err_g = _rel(tn.nfft_adjoint(x, pos, bandwidth=N, cutoff=3, sigma=1.5,
+                                 strategy="scatter"), yr)
+    assert err_es < 1e-5
+    assert err_es < err_g / 50
+
+
+def test_es_fastsum_vs_trig_oracle(rng):
+    n, dim, N, m = 200, 2, 16, 2
+    pos = _safe_points(rng, n, dim)
+    x = rng.standard_normal((n, 2)).astype(np.float32)
+    coeffs = np.asarray(tn.gaussian_analytic_coeffs(0.3, dim=dim, N=N))
+    y = np.asarray(tn.nfft_fastsum(x, coeffs, pos, cutoff=m, window="es",
+                                   strategy="scatter"))
+    A = np.asarray(tn.exact_trigonometric_matrix(coeffs, pos)).real
+    assert _rel(y, A @ x) < 2e-5
+
+
+def test_es_planar_fold_plan(rng):
+    """The fold/pruned-DFT pipeline (the TPU hot path) with an es plan."""
+    n, dim, N, m = 1500, 2, 32, 2
+    pos = _safe_points(rng, n, dim)
+    x = rng.standard_normal((n, 2)).astype(np.float32)
+    plan = tn.build_plan(pos, None, N=N, m=m, window="es")
+    yr, yi = tn.nfft_adjoint_planar(
+        x, pos, np.zeros(n, np.int32), plan, batch_size=1, N=N, m=m,
+        window="es",
+    )
+    o = np.asarray(tn.ndft_adjoint(x, pos, N=N))
+    assert _rel(np.asarray(yr) + 1j * np.asarray(yi), o) < 3e-5
+    # round trip back through the forward pipeline
+    zr, _ = tn.nfft_forward_planar(
+        yr, yi, pos, np.zeros(n, np.int32), plan, batch_size=1, dim=dim, m=m,
+        real_output=True, window="es",
+    )
+    zo = np.asarray(tn.ndft_forward(np.asarray(yr) + 1j * np.asarray(yi), pos)).real
+    assert _rel(zr, zo) < 3e-5
+
+
+def test_es_pallas_interpret_matches_xla(rng, monkeypatch):
+    """The fused Pallas kernels evaluate the es window identically to the
+    XLA fold engine (interpret mode on CPU)."""
+    monkeypatch.setenv("TORCH_NFFT_TPU_KERNEL_PRECISION", "highest")
+    from torch_nfft_tpu.ops.binned import (
+        _gather_pallas,
+        _gather_xla,
+        _spread_pallas,
+        _spread_xla,
+        build_plan,
+    )
+    from torch_nfft_tpu.ops.pallas.contract import pallas_supported
+
+    n, dim, N, m, B, C = 200, 3, 8, 2, 2, 2
+    pos = (rng.random((n, dim), dtype=np.float32) - 0.5) / 2.0
+    batch = np.sort(rng.integers(0, B, n)).astype(np.int32)
+    plan = build_plan(pos, batch, N=N, m=m, batch_size=B, K=128, window="es")
+    assert pallas_supported(plan, C)
+    x = rng.standard_normal((n, C)).astype(np.float32)
+
+    g_p = _spread_pallas(plan, jnp.asarray(x), jnp.asarray(pos), B)
+    g_x = _spread_xla(plan, jnp.asarray(x), jnp.asarray(pos), B)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=1e-5, atol=1e-5)
+
+    y_p = _gather_pallas(plan, g_x, jnp.asarray(pos))
+    y_x = _gather_xla(plan, g_x, jnp.asarray(pos))
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x), rtol=1e-5, atol=1e-5)
+
+
+def test_es_gradients_match_fd(rng):
+    n, dim, N, m = 40, 2, 16, 2
+    pos = ((rng.random((n, dim), dtype=np.float32) - 0.5) / 2.5)
+    x = rng.standard_normal((n, 1)).astype(np.float32)
+
+    def loss(x_, pos_):
+        y = tn.nfft_adjoint(x_, pos_, bandwidth=N, cutoff=m, window="es",
+                            strategy="scatter")
+        return jnp.sum(jnp.abs(y) ** 2)
+
+    g_x, g_p = jax.grad(loss, argnums=(0, 1))(jnp.asarray(x), jnp.asarray(pos))
+    eps = 1e-3
+    for arr, g, ij, wrt in [(x, g_x, (3, 0), "x"), (pos, g_p, (5, 1), "pos")]:
+        ap = arr.copy(); ap[ij] += eps
+        am = arr.copy(); am[ij] -= eps
+        if wrt == "x":
+            fd = (loss(jnp.asarray(ap), jnp.asarray(pos))
+                  - loss(jnp.asarray(am), jnp.asarray(pos))) / (2 * eps)
+        else:
+            fd = (loss(jnp.asarray(x), jnp.asarray(ap))
+                  - loss(jnp.asarray(x), jnp.asarray(am))) / (2 * eps)
+        assert abs(float(fd) - float(g[ij])) < 2e-2 * max(1.0, abs(float(fd)))
+
+
+def test_window_plan_mismatch_fails_loudly(rng):
+    n, dim, N, m = 300, 2, 16, 2
+    pos = _safe_points(rng, n, dim)
+    x = rng.standard_normal((n, 1)).astype(np.float32)
+    plan = tn.build_plan(pos, None, N=N, m=m, window="es")
+    with pytest.raises(ValueError, match="window"):
+        tn.nfft_adjoint(x, pos, bandwidth=N, cutoff=m, plan=plan)
+    with pytest.raises(ValueError, match="window"):
+        tn.nfft_adjoint_planar(x, pos, np.zeros(n, np.int32), plan,
+                               batch_size=1, N=N, m=m)
+
+
+def test_unknown_window_rejected(rng):
+    pos = _safe_points(rng, 50, 2)
+    x = np.ones((50, 1), np.float32)
+    with pytest.raises(ValueError, match="unknown window"):
+        tn.nfft_adjoint(x, pos, bandwidth=16, cutoff=2, window="kaiser",
+                        strategy="scatter")
+
+
+def test_es_streamed_and_sharded(rng):
+    """Streamed batched path and the point-sharded path both honor es."""
+    n, dim, N, m, B = 600, 2, 16, 2, 2
+    pos = _safe_points(rng, n, dim)
+    batch = np.sort(rng.integers(0, B, n)).astype(np.int32)
+    x = rng.standard_normal((n, 2)).astype(np.float32)
+
+    layout = tn.make_streamed_layout(pos, batch, batch_size=B, N=N, m=m,
+                                     window="es")
+    yr, yi = tn.nfft_adjoint_streamed(x, layout)
+    o = np.asarray(tn.ndft_adjoint(x, pos, batch, N=N))
+    assert _rel(np.asarray(yr) + 1j * np.asarray(yi), o) < 3e-5
+
+    mesh = tn.parallel.make_mesh({"points": -1})
+    n_pad = tn.parallel.pad_points  # noqa: F841 (API presence)
+    plans = tn.parallel.build_sharded_plans(
+        pos, batch, n_shards=mesh.shape["points"], N=N, m=m, window="es"
+    )
+    y_sh = tn.parallel.nfft_adjoint_sharded(
+        x, pos, batch, bandwidth=N, cutoff=m, mesh=mesh, plans=plans,
+        window="es",
+    )
+    assert _rel(np.asarray(y_sh), o) < 3e-5

@@ -56,7 +56,7 @@ from .tilefold import (
     unfold_grid_to_tiles_dft,
     use_fold,
 )
-from .window import window_inv_b, window_inv_sqrt_b_pi
+from .window import window_value_fn
 
 __all__ = [
     "BinnedPlan",
@@ -109,6 +109,9 @@ class BinnedPlan:
     # bin-id fingerprint from position_fingerprint()
     batch_size: int | None = None
     pos_fp: int | None = None
+    # spreading window family: "gaussian" (reference parity) or "es"
+    # (exp-sqrt — better accuracy per support width; ops/window.py)
+    window: str = "gaussian"
     # per-axis active tile run ((start_tile, num_tiles) per dim) covering all
     # occupied tiles plus their +1 halo neighbours; None = full axis. The
     # reference's GaussianKernel maps every point set into the [-1/4, 1/4]
@@ -147,7 +150,7 @@ class BinnedPlan:
         )
         aux = (
             self.n, self.dim, self.N, self.m, self.sigma, self.T, self.K,
-            self.batch_size, self.pos_fp, self.active,
+            self.batch_size, self.pos_fp, self.window, self.active,
         )
         return children, aux
 
@@ -246,6 +249,7 @@ def build_plan(
     batch_size: int | None = None,
     T: int | None = None,
     K: int | None = None,
+    window: str = "gaussian",
 ) -> BinnedPlan:
     """Host-side plan construction (NumPy; requires concrete pos/batch).
 
@@ -326,6 +330,7 @@ def build_plan(
             N=N,
             m=m,
             sigma=float(sigma),
+            window=str(window),
             T=int(T),
             K=int(K_used),
             batch_size=int(batch_size),
@@ -398,6 +403,7 @@ def build_plan(
         N=N,
         m=m,
         sigma=float(sigma),
+        window=str(window),
         T=int(T),
         K=int(K),
         batch_size=int(batch_size),
@@ -470,6 +476,7 @@ def build_plan_device(
     batch_size: int | None = None,
     T: int | None = None,
     K: int | None = None,
+    window: str = "gaussian",
 ) -> BinnedPlan:
     """:func:`build_plan` with all O(n) work on the DEVICE.
 
@@ -518,18 +525,19 @@ def build_plan_device(
             if T == 16:
                 return _finish_plan_device(
                     pos, order, counts_np, n, dim, N, m, sigma, 16, nb, K,
-                    batch_size,
+                    batch_size, window,
                 )
     T = min(T, M)
     order, counts, nb = histogram(T)
     return _finish_plan_device(
         pos, order, np.asarray(counts), n, dim, N, m, sigma, T, nb, K,
-        batch_size,
+        batch_size, window,
     )
 
 
 def _finish_plan_device(
-    pos, order, counts_np, n, dim, N, m, sigma, T, nb, K, batch_size
+    pos, order, counts_np, n, dim, N, m, sigma, T, nb, K, batch_size,
+    window="gaussian",
 ) -> BinnedPlan:
     """Host O(S) row layout from the histogram + device slot assembly."""
     M = int(round(sigma * N))
@@ -570,6 +578,7 @@ def _finish_plan_device(
         N=N,
         m=m,
         sigma=float(sigma),
+        window=str(window),
         T=int(T),
         K=int(K),
         batch_size=int(batch_size),
@@ -589,8 +598,7 @@ def _row_windows(plan: BinnedPlan, pos_s, origin):
     """
     m, M, H = plan.m, plan.M, plan.H
     L = 2 * plan.m + 2
-    inv_b = window_inv_b(m, plan.sigma)
-    amp = window_inv_sqrt_b_pi(m, plan.sigma)
+    phi = window_value_fn(m, plan.sigma, plan.window)
 
     scaled = pos_s * M  # (R, K, dim)
     floor_s = jax.lax.stop_gradient(jnp.floor(scaled))
@@ -601,7 +609,7 @@ def _row_windows(plan: BinnedPlan, pos_s, origin):
     u = jnp.arange(H, dtype=jnp.int32)
     rel = u[None, None, None, :] - o[..., None]  # (R, K, dim, H) = u - o
     t = frac[..., None] + (m - rel).astype(frac.dtype)
-    vals = jnp.exp(-(t * t) * inv_b) * amp
+    vals = phi(t)
     mask = (rel >= 0) & (rel < L)
     A = jnp.where(mask, vals, jnp.zeros_like(vals))
     return A  # (R, K, dim, H)

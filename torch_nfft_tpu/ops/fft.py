@@ -183,7 +183,8 @@ PRUNED_MAX = 2048
 
 @lru_cache(maxsize=None)
 def _pruned_mats_np(N: int, M: int, m: int, sigma: float, sign: int,
-                    off: int = 0, L: int | None = None):
+                    off: int = 0, L: int | None = None,
+                    window: str = "gaussian"):
     """(cos, sin) of the pruned planar DFT matrix, shape (L, N), float32.
 
     Column j holds frequency k = j - N/2 (the centered layout, frequency k
@@ -203,9 +204,11 @@ def _pruned_mats_np(N: int, M: int, m: int, sigma: float, sign: int,
     k = np.arange(N, dtype=np.float64) - N // 2
     a = np.arange(L, dtype=np.float64) + off
     theta = 2.0 * np.pi * np.outer(a, k) / M
-    # phi_hat_inv(k) = exp(k^2 * b * (pi/M)^2), ops/window.py:phi_hat_inv_param
-    b = 2.0 * sigma * m / ((2.0 * sigma - 1.0) * np.pi)
-    phinv = np.exp(k * k * (b * (np.pi / M) ** 2))
+    # shared float64 phi_hat_inv definition (closed-form gaussian / es
+    # quadrature), ops/window.py:phi_hat_inv_np
+    from .window import phi_hat_inv_np
+
+    phinv = phi_hat_inv_np(N, m, sigma, window)
     cr = np.cos(theta) * phinv[None, :]
     ci = np.sin(theta) * sign * phinv[None, :]
     return cr.astype(np.float32), ci.astype(np.float32)
@@ -238,7 +241,8 @@ def _axis_contract_planar(xr, xi, mr, mi, ax: int):
 
 
 def spectral_adjoint_pruned(gr, gi, dim: int, N: int, m: int, sigma: float,
-                            spatial_axis0: int = 1):
+                            spatial_axis0: int = 1,
+                            window: str = "gaussian"):
     """Oversampled planar grid -> centered spectrum, rolloff-corrected.
 
     Fuses ``fftn_planar(sign=+1)`` + ``centered_crop`` + ``apply_phi_hat_inv``
@@ -247,7 +251,7 @@ def spectral_adjoint_pruned(gr, gi, dim: int, N: int, m: int, sigma: float,
     gi may be None. Returns planar (yr, yi) with those axes of length N.
     """
     M = gr.shape[spatial_axis0]
-    cr, ci = _pruned_mats_np(N, M, m, float(sigma), +1)
+    cr, ci = _pruned_mats_np(N, M, m, float(sigma), +1, window=window)
     mr = jnp.asarray(cr)
     mi = jnp.asarray(ci)
     for d in range(dim):
@@ -256,7 +260,8 @@ def spectral_adjoint_pruned(gr, gi, dim: int, N: int, m: int, sigma: float,
 
 
 def spectral_forward_pruned(xr, xi, dim: int, M: int, m: int, sigma: float,
-                            spatial_axis0: int = 1):
+                            spatial_axis0: int = 1,
+                            window: str = "gaussian"):
     """Centered spectrum -> oversampled planar grid, rolloff-corrected.
 
     Fuses ``apply_phi_hat_inv`` + ``centered_embed`` + ``fftn_planar(sign=-1)``
@@ -264,7 +269,7 @@ def spectral_forward_pruned(xr, xi, dim: int, M: int, m: int, sigma: float,
     the adjoint one with the opposite sign. xi may be None.
     """
     N = xr.shape[spatial_axis0]
-    cr, ci = _pruned_mats_np(N, M, m, float(sigma), -1)
+    cr, ci = _pruned_mats_np(N, M, m, float(sigma), -1, window=window)
     mr = jnp.asarray(np.ascontiguousarray(cr.T))
     mi = jnp.asarray(np.ascontiguousarray(ci.T))
     for d in range(dim):
@@ -280,7 +285,8 @@ def _cells_spec(dim: int, M: int, cells):
 
 
 def spectral_adjoint_pruned_dft(gr, gi, dim: int, N: int, m: int, sigma: float,
-                                M: int | None = None, cells=None):
+                                M: int | None = None, cells=None,
+                                window: str = "gaussian"):
     """DFT-layout grid (B, L_1, ..., L_{dim-1}, C, L_0) -> standard centered
     spectrum (B, (N,)*dim, C).
 
@@ -296,7 +302,7 @@ def spectral_adjoint_pruned_dft(gr, gi, dim: int, N: int, m: int, sigma: float,
 
     def mats(d):
         off, L = spec[d]
-        cr, ci = _pruned_mats_np(N, M, m, float(sigma), +1, off, L)
+        cr, ci = _pruned_mats_np(N, M, m, float(sigma), +1, off, L, window)
         return jnp.asarray(cr), jnp.asarray(ci)
 
     gr, gi = _axis_contract_planar(gr, gi, *mats(0), gr.ndim - 1)  # L0 -> N0
@@ -307,7 +313,8 @@ def spectral_adjoint_pruned_dft(gr, gi, dim: int, N: int, m: int, sigma: float,
 
 
 def spectral_forward_pruned_dft(xr, xi, dim: int, M: int, m: int, sigma: float,
-                                cells=None, real_only: bool = False):
+                                cells=None, real_only: bool = False,
+                                window: str = "gaussian"):
     """Standard centered spectrum (B, (N,)*dim, C) -> DFT-layout grid
     (B, L_1, ..., L_{dim-1}, C, L_0). Mirror of
     :func:`spectral_adjoint_pruned_dft`; the input permutation happens on the
@@ -327,7 +334,7 @@ def spectral_forward_pruned_dft(xr, xi, dim: int, M: int, m: int, sigma: float,
 
     def mats(d):
         off, L = spec[d]
-        cr, ci = _pruned_mats_np(N, M, m, float(sigma), -1, off, L)
+        cr, ci = _pruned_mats_np(N, M, m, float(sigma), -1, off, L, window)
         return (
             jnp.asarray(np.ascontiguousarray(cr.T)),
             jnp.asarray(np.ascontiguousarray(ci.T)),

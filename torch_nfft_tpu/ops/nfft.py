@@ -43,6 +43,7 @@ from .spread_gather import gather, spread
 __all__ = ["nfft_adjoint", "nfft_forward", "nfft_fastsum"]
 
 DEFAULT_SIGMA = 2.0
+DEFAULT_WINDOW = "gaussian"
 
 
 def _complex_dtype_for(x):
@@ -131,7 +132,7 @@ def _no_complex_error(op: str) -> ValueError:
     )
 
 
-def _check_plan(plan, N, m, sigma, pos=None, batch_size=None):
+def _check_plan(plan, N, m, sigma, pos=None, batch_size=None, window="gaussian"):
     """A plan with mismatched window geometry would be silently wrong (the
     grid shapes still line up when only m differs), so fail loudly. The same
     goes for a plan built on a different point set: point count, batch count
@@ -139,10 +140,15 @@ def _check_plan(plan, N, m, sigma, pos=None, batch_size=None):
     bin-id fingerprint are all verified."""
     if plan is None:
         return
-    if (plan.N, plan.m) != (N, m) or plan.sigma != float(sigma):
+    if (
+        (plan.N, plan.m) != (N, m)
+        or plan.sigma != float(sigma)
+        or plan.window != window
+    ):
         raise ValueError(
-            f"plan was built for (N={plan.N}, m={plan.m}, sigma={plan.sigma}) "
-            f"but the transform uses (N={N}, m={m}, sigma={float(sigma)})"
+            f"plan was built for (N={plan.N}, m={plan.m}, sigma={plan.sigma}, "
+            f"window={plan.window!r}) but the transform uses "
+            f"(N={N}, m={m}, sigma={float(sigma)}, window={window!r})"
         )
     if pos is not None and not isinstance(pos, jax.core.Tracer):
         if plan.n != pos.shape[0]:
@@ -188,7 +194,7 @@ def clear_plan_cache() -> None:
     _PLAN_CACHE.clear()
 
 
-def _plan_cache_key(pos, batch, N, m, sigma, batch_size):
+def _plan_cache_key(pos, batch, N, m, sigma, batch_size, window):
     """Content hash of the exact inputs that determine a plan. Hashing reads
     the positions on the host — same cost class as the host-side plan build
     it saves; callers on slow device links should pass ``plan=`` instead."""
@@ -199,10 +205,11 @@ def _plan_cache_key(pos, batch, N, m, sigma, batch_size):
     h.update(a.tobytes())
     if batch is not None:
         h.update(np.ascontiguousarray(np.asarray(batch, np.int32)).tobytes())
-    return (h.digest(), a.shape, N, m, float(sigma), batch_size)
+    return (h.digest(), a.shape, N, m, float(sigma), batch_size, window)
 
 
-def _maybe_build_plan(strategy, plan, pos, batch, N, m, sigma, batch_size, C=1):
+def _maybe_build_plan(strategy, plan, pos, batch, N, m, sigma, batch_size, C=1,
+                      window="gaussian"):
     """strategy="binned" needs a concrete-point plan built before tracing.
 
     "auto" with concrete points also plans eagerly once the problem outgrows
@@ -210,7 +217,7 @@ def _maybe_build_plan(strategy, plan, pos, batch, N, m, sigma, batch_size, C=1):
     is the only fast path on TPU runtimes without a good scatter.
     """
     if plan is not None:
-        _check_plan(plan, N, m, sigma, pos, batch_size)
+        _check_plan(plan, N, m, sigma, pos, batch_size, window)
         return plan, strategy
     if strategy == "auto":
         if isinstance(pos, jax.core.Tracer):
@@ -228,10 +235,11 @@ def _maybe_build_plan(strategy, plan, pos, batch, N, m, sigma, batch_size, C=1):
         return None, "scatter"
     from .binned import build_plan
 
-    key = _plan_cache_key(pos, batch, N, m, sigma, batch_size)
+    key = _plan_cache_key(pos, batch, N, m, sigma, batch_size, window)
     plan = _PLAN_CACHE.get(key)
     if plan is None:
-        plan = build_plan(pos, batch, N=N, m=m, sigma=sigma, batch_size=batch_size)
+        plan = build_plan(pos, batch, N=N, m=m, sigma=sigma,
+                          batch_size=batch_size, window=window)
         _PLAN_CACHE[key] = plan
         while len(_PLAN_CACHE) > _PLAN_CACHE_MAX:
             _PLAN_CACHE.popitem(last=False)
@@ -247,9 +255,9 @@ def _maybe_build_plan(strategy, plan, pos, batch, N, m, sigma, batch_size, C=1):
 
 @partial(
     jax.jit,
-    static_argnames=("batch_size", "N", "m", "real_output", "sigma", "strategy"),
+    static_argnames=("batch_size", "N", "m", "real_output", "sigma", "strategy", "window"),
 )
-def _nfft_adjoint_impl(x, pos, batch, plan, *, batch_size, N, m, real_output, sigma, strategy):
+def _nfft_adjoint_impl(x, pos, batch, plan, *, batch_size, N, m, real_output, sigma, strategy, window):
     n, dim = pos.shape
     M = int(round(sigma * N))
     trailing = x.shape[1:]
@@ -257,7 +265,7 @@ def _nfft_adjoint_impl(x, pos, batch, plan, *, batch_size, N, m, real_output, si
     xf = x.reshape(n, C)
 
     with jax.named_scope("nfft_spread"):
-        g = spread(xf, pos, batch, batch_size, N, m, sigma, strategy, plan=plan)
+        g = spread(xf, pos, batch, batch_size, N, m, sigma, strategy, plan=plan, window=window)
         g = g.reshape((batch_size,) + (M,) * dim + (C,))
 
     with jax.named_scope("nfft_fft"):
@@ -269,7 +277,7 @@ def _nfft_adjoint_impl(x, pos, batch, plan, *, batch_size, N, m, real_output, si
 
     with jax.named_scope("nfft_rolloff"):
         y = centered_crop(g_hat, dim, N, spatial_axis0=1)
-        y = apply_phi_hat_inv(y, dim, N, m, sigma, spatial_axis0=1)
+        y = apply_phi_hat_inv(y, dim, N, m, sigma, spatial_axis0=1, window=window)
 
     y = y.reshape((batch_size,) + (N,) * dim + trailing)
     return y.real if real_output else y
@@ -289,6 +297,7 @@ def nfft_adjoint(
     sigma=DEFAULT_SIGMA,
     strategy="auto",
     plan=None,
+    window=DEFAULT_WINDOW,
 ):
     """Adjoint NFFT: irregular samples -> centered spectral coefficients.
 
@@ -311,6 +320,7 @@ def nfft_adjoint(
     plan, strategy = _maybe_build_plan(
         strategy, plan, pos, batch, N, m, sigma, batch_size,
         C=math.prod(x.shape[1:]) if x.ndim > 1 else 1,
+        window=window,
     )
 
     if (
@@ -332,6 +342,7 @@ def nfft_adjoint(
             m=m,
             sigma=float(sigma),
             strategy=strategy,
+            window=window,
         )
         return yr.reshape((batch_size,) + (N,) * pos.shape[1] + trailing)
 
@@ -349,6 +360,7 @@ def nfft_adjoint(
         real_output=bool(real_output),
         sigma=float(sigma),
         strategy=strategy,
+        window=window,
     )
 
 
@@ -359,9 +371,9 @@ def nfft_adjoint(
 
 @partial(
     jax.jit,
-    static_argnames=("batch_size", "dim", "m", "real_output", "sigma", "strategy"),
+    static_argnames=("batch_size", "dim", "m", "real_output", "sigma", "strategy", "window"),
 )
-def _nfft_forward_impl(x, pos, batch, plan, *, batch_size, dim, m, real_output, sigma, strategy):
+def _nfft_forward_impl(x, pos, batch, plan, *, batch_size, dim, m, real_output, sigma, strategy, window):
     N = x.shape[1]
     M = int(round(sigma * N))
     trailing = x.shape[1 + dim :]
@@ -370,7 +382,7 @@ def _nfft_forward_impl(x, pos, batch, plan, *, batch_size, dim, m, real_output, 
     xc = x.reshape((batch_size,) + (N,) * dim + (C,)).astype(_complex_dtype_for(x))
 
     with jax.named_scope("nfft_rolloff"):
-        xw = apply_phi_hat_inv(xc, dim, N, m, sigma, spatial_axis0=1)
+        xw = apply_phi_hat_inv(xc, dim, N, m, sigma, spatial_axis0=1, window=window)
         g_hat = centered_embed(xw, dim, N, M, spatial_axis0=1)
 
     with jax.named_scope("nfft_fft"):
@@ -380,7 +392,7 @@ def _nfft_forward_impl(x, pos, batch, plan, *, batch_size, dim, m, real_output, 
 
     with jax.named_scope("nfft_gather"):
         g_flat = g.reshape(batch_size * M**dim, C)
-        y = gather(g_flat, pos, batch, batch_size, N, m, sigma, strategy, plan=plan)
+        y = gather(g_flat, pos, batch, batch_size, N, m, sigma, strategy, plan=plan, window=window)
 
     y = y.reshape((pos.shape[0],) + trailing)
     return y.real if real_output else y
@@ -398,6 +410,7 @@ def nfft_forward(
     sigma=DEFAULT_SIGMA,
     strategy="auto",
     plan=None,
+    window=DEFAULT_WINDOW,
 ):
     """Forward NFFT: centered spectral coefficients -> irregular samples.
 
@@ -421,6 +434,7 @@ def nfft_forward(
     plan, strategy = _maybe_build_plan(
         strategy, plan, pos, batch, x.shape[1], m, sigma, batch_size,
         C=math.prod(x.shape[1 + pos.shape[1]:]) if x.ndim > 1 + pos.shape[1] else 1,
+        window=window,
     )
 
     if (
@@ -445,6 +459,7 @@ def nfft_forward(
             sigma=float(sigma),
             strategy=strategy,
             real_output=True,
+            window=window,
         )
         return yr.reshape((pos.shape[0],) + trailing)
 
@@ -462,6 +477,7 @@ def nfft_forward(
         real_output=bool(real_output),
         sigma=float(sigma),
         strategy=strategy,
+        window=window,
     )
 
 
@@ -472,7 +488,7 @@ def nfft_forward(
 
 @partial(
     jax.jit,
-    static_argnames=("batch_size", "N", "m", "sigma", "strategy", "symmetric"),
+    static_argnames=("batch_size", "N", "m", "sigma", "strategy", "symmetric", "window"),
 )
 def _nfft_fastsum_impl(
     x,
@@ -490,6 +506,7 @@ def _nfft_fastsum_impl(
     sigma,
     strategy,
     symmetric,
+    window,
 ):
     n_src, dim = sources.shape
     M = int(round(sigma * N))
@@ -499,7 +516,7 @@ def _nfft_fastsum_impl(
     cdtype = jnp.result_type(_complex_dtype_for(x), _complex_dtype_for(coeffs))
 
     with jax.named_scope("fastsum_spread"):
-        g = spread(xf, sources, source_batch, batch_size, N, m, sigma, strategy, plan=source_plan)
+        g = spread(xf, sources, source_batch, batch_size, N, m, sigma, strategy, plan=source_plan, window=window)
         g = g.reshape((batch_size,) + (M,) * dim + (C,))
 
     with jax.named_scope("fastsum_fft_adjoint"):
@@ -510,7 +527,7 @@ def _nfft_fastsum_impl(
     with jax.named_scope("fastsum_kernel_convolution"):
         # coeffs * phi_hat_inv^2 embedded on the oversampled grid, zero
         # outside the band (spectral_window_operations.cu:269-402).
-        filt = fastsum_band_filter(coeffs, N, m, M, sigma)
+        filt = fastsum_band_filter(coeffs, N, m, M, sigma, window=window)
         g_hat = g_hat * filt[None, ..., None].astype(cdtype)
 
     with jax.named_scope("fastsum_fft_forward"):
@@ -518,7 +535,7 @@ def _nfft_fastsum_impl(
 
     with jax.named_scope("fastsum_gather"):
         g2_flat = g2.reshape(batch_size * M**dim, C)
-        y = gather(g2_flat, targets, target_batch, batch_size, N, m, sigma, strategy, plan=target_plan)
+        y = gather(g2_flat, targets, target_batch, batch_size, N, m, sigma, strategy, plan=target_plan, window=window)
 
     y = y.reshape((targets.shape[0],) + trailing)
     if not jnp.issubdtype(x.dtype, jnp.complexfloating):
@@ -543,6 +560,7 @@ def nfft_fastsum(
     strategy="auto",
     source_plan=None,
     target_plan=None,
+    window=DEFAULT_WINDOW,
 ):
     """Fast multiplication with a trigonometric kernel (Gram) matrix.
 
@@ -593,14 +611,16 @@ def nfft_fastsum(
 
     _C_fs = math.prod(x.shape[1:]) if x.ndim > 1 else 1
     source_plan, strat_src = _maybe_build_plan(
-        strategy, source_plan, sources, source_batch, N, m_, sigma, bs_src, C=_C_fs
+        strategy, source_plan, sources, source_batch, N, m_, sigma, bs_src,
+        C=_C_fs, window=window,
     )
     if symmetric:
         target_plan = target_plan if target_plan is not None else source_plan
         strategy = strat_src
     else:
         target_plan, strategy = _maybe_build_plan(
-            strategy, target_plan, targets, target_batch, N, m_, sigma, bs_tgt, C=_C_fs
+            strategy, target_plan, targets, target_batch, N, m_, sigma, bs_tgt,
+            C=_C_fs, window=window,
         )
 
     if (
@@ -626,6 +646,7 @@ def nfft_fastsum(
             m=m_,
             sigma=float(sigma),
             strategy=strategy,
+            window=window,
         )
         return y.reshape((targets.shape[0],) + trailing)
 
@@ -647,4 +668,5 @@ def nfft_fastsum(
         sigma=float(sigma),
         strategy=strategy,
         symmetric=symmetric,
+        window=window,
     )

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..window import window_inv_b, window_inv_sqrt_b_pi
+from ..window import window_value_and_deriv_fn, window_value_fn
 
 __all__ = [
     "spread_tiles_pallas",
@@ -108,7 +108,7 @@ def pallas_supported(plan, C: int) -> bool:
     return plan.K <= _KC or plan.K % _KC == 0
 
 
-def _windows_fused(pd, orgs, M, m, H, inv_b, amp):
+def _windows_fused(pd, orgs, M, m, H, phi):
     """Per-dim window matrices, each (H, KC): values of every coordinate row
     against its tile cells origin_d + [0, H), evaluated in ONE batch of
     vector ops. Same math as binned._row_windows.
@@ -140,14 +140,14 @@ def _windows_fused(pd, orgs, M, m, H, inv_b, amp):
     u = jax.lax.broadcasted_iota(jnp.int32, (D * G, KC), 0) % G
     rel = u - o_r  # integer, exact — same expression as binned._row_windows
     t = frac_r + (m - rel).astype(frac_r.dtype)
-    vals = jnp.exp(-(t * t) * inv_b) * amp
+    vals = phi(t)
     vals = jnp.where((rel >= 0) & (rel < L), vals, 0.0)
     return [vals[d * G : d * G + H] for d in range(D)]
 
 
-def _windows_and_derivs(pd, orgs, M, m, H, inv_b, amp):
+def _windows_and_derivs(pd, orgs, M, m, H, phi_pair):
     """Like :func:`_windows_fused` but also returns the derivative windows
-    D_d = dA_d/dpos_d = (-2*inv_b*M) * t * A_d (the floor in the window
+    D_d = dA_d/dpos_d = M * phi'(t) masked like A_d (the floor in the window
     argument is piecewise constant, so d t/d pos = M exactly — matching the
     XLA path, where ``binned._row_windows`` stop-gradients the floor).
 
@@ -174,9 +174,10 @@ def _windows_and_derivs(pd, orgs, M, m, H, inv_b, amp):
     u = jax.lax.broadcasted_iota(jnp.int32, (D * G, KC), 0) % G
     rel = u - o_r
     t = frac_r + (m - rel).astype(frac_r.dtype)
-    vals = jnp.exp(-(t * t) * inv_b) * amp
-    vals = jnp.where((rel >= 0) & (rel < L), vals, 0.0)
-    dvals = ((-2.0 * inv_b * M) * t) * vals
+    inb = (rel >= 0) & (rel < L)
+    vals, dvals = phi_pair(t)
+    vals = jnp.where(inb, vals, 0.0)
+    dvals = jnp.where(inb, dvals, 0.0)
     return [
         (vals[d * G : d * G + H], dvals[d * G : d * G + H]) for d in range(D)
     ]
@@ -258,8 +259,7 @@ def _spread_kernel(
     H,
     M,
     m,
-    inv_b,
-    amp,
+    phi,
     dim,
 ):
     s = pl.program_id(0)
@@ -276,7 +276,7 @@ def _spread_kernel(
         orgs = (org0_ref[s], org1_ref[s], org2_ref[s])[:dim]
         A = _windows_fused(
             data_ref[C : C + dim, pl.ds(sl, KC)],
-            orgs, M, m, H, inv_b, amp,
+            orgs, M, m, H, phi,
         )
         for c in range(C):
             xw = data_ref[c : c + 1, pl.ds(sl, KC)] * kmask  # (1, KC)
@@ -301,8 +301,7 @@ def _spread_dense_kernel(
     H,
     M,
     m,
-    inv_b,
-    amp,
+    phi,
     dim,
 ):
     """Spread with IN-KERNEL dense-tile accumulation: consecutive rows of one
@@ -326,7 +325,7 @@ def _spread_dense_kernel(
         orgs = (org0_ref[s], org1_ref[s], org2_ref[s])[:dim]
         A = _windows_fused(
             data_ref[C : C + dim, pl.ds(sl, KC)],
-            orgs, M, m, H, inv_b, amp,
+            orgs, M, m, H, phi,
         )
         for c in range(C):
             xw = data_ref[c : c + 1, pl.ds(sl, KC)] * kmask  # (1, KC)
@@ -359,8 +358,7 @@ def spread_tiles_dense_pallas(plan, x, pos, *, C, tile_index, NT, x_slot=None):
     S = plan.slot_pt.shape[0]
     K, H, M, m = plan.K, plan.H, plan.M, plan.m
     W2 = H ** (plan.dim - 1)
-    inv_b = window_inv_b(m, plan.sigma)
-    amp = window_inv_sqrt_b_pi(m, plan.sigma)
+    phi = window_value_fn(m, plan.sigma, plan.window)
 
     vals = (
         x_slot.astype(jnp.float32)
@@ -384,7 +382,7 @@ def spread_tiles_dense_pallas(plan, x, pos, *, C, tile_index, NT, x_slot=None):
         ),
     )
     kernel = functools.partial(
-        _spread_dense_kernel, K=K, C=C, H=H, M=M, m=m, inv_b=inv_b, amp=amp,
+        _spread_dense_kernel, K=K, C=C, H=H, M=M, m=m, phi=phi,
         dim=plan.dim,
     )
     zeros = jnp.zeros((NT, C, H, W2), jnp.float32)
@@ -420,8 +418,7 @@ def _gather_kernel(
     H,
     M,
     m,
-    inv_b,
-    amp,
+    phi,
     dim,
 ):
     s = pl.program_id(0)
@@ -436,7 +433,7 @@ def _gather_kernel(
         orgs = (org0_ref[s], org1_ref[s], org2_ref[s])[:dim]
         A = _windows_fused(
             data_ref[0:dim, pl.ds(sl, KC)],
-            orgs, M, m, H, inv_b, amp,
+            orgs, M, m, H, phi,
         )
         mode = kernel_precision()
         bf = mode == "bf16kr"
@@ -532,8 +529,7 @@ def spread_tiles_pallas(plan, x, pos, *, C):
     S = plan.slot_pt.shape[0]
     K, H, M, m = plan.K, plan.H, plan.M, plan.m
     W2 = H ** (plan.dim - 1)
-    inv_b = window_inv_b(m, plan.sigma)
-    amp = window_inv_sqrt_b_pi(m, plan.sigma)
+    phi = window_value_fn(m, plan.sigma, plan.window)
 
     # values gathered per call; coordinates precomputed in the plan
     data = jnp.concatenate(
@@ -552,7 +548,7 @@ def spread_tiles_pallas(plan, x, pos, *, C):
         ),
     )
     kernel = functools.partial(
-        _spread_kernel, K=K, C=C, H=H, M=M, m=m, inv_b=inv_b, amp=amp,
+        _spread_kernel, K=K, C=C, H=H, M=M, m=m, phi=phi,
         dim=plan.dim,
     )
     return pl.pallas_call(
@@ -575,8 +571,7 @@ def gather_points_pallas(plan, tiles, pos, *, C, tile_index=None):
     S = plan.slot_pt.shape[0]
     K, H, M, m = plan.K, plan.H, plan.M, plan.m
     W2 = H ** (plan.dim - 1)
-    inv_b = window_inv_b(m, plan.sigma)
-    amp = window_inv_sqrt_b_pi(m, plan.sigma)
+    phi = window_value_fn(m, plan.sigma, plan.window)
     if tile_index is None:
         tile_index = jnp.arange(S, dtype=jnp.int32)
 
@@ -599,7 +594,7 @@ def gather_points_pallas(plan, tiles, pos, *, C, tile_index=None):
         ),
     )
     kernel = functools.partial(
-        _gather_kernel, K=K, C=C, H=H, M=M, m=m, inv_b=inv_b, amp=amp,
+        _gather_kernel, K=K, C=C, H=H, M=M, m=m, phi=phi,
         dim=plan.dim,
     )
     return pl.pallas_call(
@@ -631,8 +626,7 @@ def _pos_grad_kernel(
     H,
     M,
     m,
-    inv_b,
-    amp,
+    phi,
     dim,
 ):
     """Fused position-gradient contraction. For each point k,
@@ -675,7 +669,7 @@ def _pos_grad_kernel(
         orgs = (org0_ref[s], org1_ref[s], org2_ref[s])[:dim]
         AD = _windows_and_derivs(
             data_ref[C : C + dim, pl.ds(sl, KC)],
-            orgs, M, m, H, inv_b, amp,
+            orgs, M, m, H, phi,
         )
         accs = [jnp.zeros((1, KC), jnp.float32) for _ in range(dim)]
         for c in range(C):
@@ -729,8 +723,7 @@ def pos_grad_pallas(plan, tiles, w, *, C, tile_index=None, w_slot=None):
     S = plan.slot_pt.shape[0]
     K, H, M, m = plan.K, plan.H, plan.M, plan.m
     W2 = H ** (plan.dim - 1)
-    inv_b = window_inv_b(m, plan.sigma)
-    amp = window_inv_sqrt_b_pi(m, plan.sigma)
+    phi = window_value_and_deriv_fn(m, plan.sigma, plan.window, M=M)
     if tile_index is None:
         tile_index = jnp.arange(S, dtype=jnp.int32)
 
@@ -758,7 +751,7 @@ def pos_grad_pallas(plan, tiles, w, *, C, tile_index=None, w_slot=None):
         ),
     )
     kernel = functools.partial(
-        _pos_grad_kernel, K=K, C=C, H=H, M=M, m=m, inv_b=inv_b, amp=amp,
+        _pos_grad_kernel, K=K, C=C, H=H, M=M, m=m, phi=phi,
         dim=plan.dim,
     )
     return pl.pallas_call(

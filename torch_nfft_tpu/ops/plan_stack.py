@@ -59,6 +59,7 @@ def pad_plan_rows(plan: BinnedPlan, S_target: int) -> BinnedPlan:
         K=plan.K,
         batch_size=plan.batch_size,
         pos_fp=plan.pos_fp,
+        window=plan.window,
         active=plan.active,
     )
 
@@ -73,10 +74,12 @@ def stack_plans(plans: list[BinnedPlan]) -> BinnedPlan:
     """
     p0 = plans[0]
     for p in plans[1:]:
-        if (p.n, p.dim, p.N, p.m, p.sigma, p.T, p.K) != (
-            p0.n, p0.dim, p0.N, p0.m, p0.sigma, p0.T, p0.K
+        if (p.n, p.dim, p.N, p.m, p.sigma, p.T, p.K, p.window) != (
+            p0.n, p0.dim, p0.N, p0.m, p0.sigma, p0.T, p0.K, p0.window
         ):
-            raise ValueError("all stacked plans must share (n, dim, N, m, sigma, T, K)")
+            raise ValueError(
+                "all stacked plans must share (n, dim, N, m, sigma, T, K, window)"
+            )
         if p.slot_pt.shape != p0.slot_pt.shape:
             raise ValueError("all stacked plans must share S — pad_plan_rows first")
     stack = lambda get: jnp.stack([get(p) for p in plans])
@@ -96,6 +99,7 @@ def stack_plans(plans: list[BinnedPlan]) -> BinnedPlan:
         K=p0.K,
         batch_size=p0.batch_size,
         pos_fp=None,
+        window=p0.window,
         # one shared slab for every member: the fold shapes must agree
         # across the lax.fori_loop / shard_map that indexes the stack
         active=merge_active_runs(
@@ -159,6 +163,7 @@ def build_plan_stack(
     sigma: float = 2.0,
     T: int | None = None,
     K: int | None = None,
+    window: str = "gaussian",
 ) -> BinnedPlan:
     """Build one single-batch plan per member of ``pos_stack`` (B, n, dim)
     and stack them. K is forced to the first member's choice so the stack is
@@ -167,7 +172,8 @@ def build_plan_stack(
     plans = []
     for b in range(pos_stack.shape[0]):
         p = build_plan(
-            pos_stack[b], None, N=N, m=m, sigma=sigma, batch_size=1, T=T, K=K
+            pos_stack[b], None, N=N, m=m, sigma=sigma, batch_size=1, T=T, K=K,
+            window=window,
         )
         if K is None:
             K = p.K

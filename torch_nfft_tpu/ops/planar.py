@@ -48,6 +48,19 @@ __all__ = [
 ]
 
 DEFAULT_SIGMA = 2.0
+DEFAULT_WINDOW = "gaussian"
+
+
+def _check_window_match(window, *plans):
+    """A plan built for one window family used with another would be
+    silently wrong (same geometry, different weights) — fail loudly."""
+    for p in plans:
+        if p is not None and p.window != window:
+            raise ValueError(
+                f"plan was built with window={p.window!r} but the transform "
+                f"uses window={window!r} — rebuild the plan or pass the "
+                "matching window="
+            )
 
 
 def _dft_route(plan, C: int, batch_size: int, itemsize: int = 4):
@@ -68,7 +81,7 @@ def _dft_route(plan, C: int, batch_size: int, itemsize: int = 4):
 
 
 def _spread_dft(x, pos, batch, plan, batch_size, N, m, sigma, strategy, dim,
-                use_plan):
+                use_plan, window=DEFAULT_WINDOW):
     """Spread onto the DFT-layout grid (B, L_1, ..., C, L_0): directly via
     the fold engine when a fold-capable plan exists (zero grid transposes,
     compact slab when the plan has one), else flat spread + the
@@ -81,12 +94,13 @@ def _spread_dft(x, pos, batch, plan, batch_size, N, m, sigma, strategy, dim,
             plan, x, pos, batch_size=batch_size,
             compact=compact_cells(plan) is not None,
         )
-    g = spread(x, pos, batch, batch_size, N, m, sigma, strategy, plan=plan)
+    g = spread(x, pos, batch, batch_size, N, m, sigma, strategy, plan=plan,
+               window=window)
     return grid_flat_to_dft(g, dim, M, batch_size)
 
 
 def _gather_dft(g_dft, pos, batch, plan, batch_size, N, m, sigma, strategy,
-                use_plan):
+                use_plan, window=DEFAULT_WINDOW):
     """Gather from the DFT-layout grid; mirror of :func:`_spread_dft`."""
     dim = pos.shape[1]
     M = g_dft.shape[-1]
@@ -97,12 +111,13 @@ def _gather_dft(g_dft, pos, batch, plan, batch_size, N, m, sigma, strategy,
             plan, g_dft, pos, compact=compact_cells(plan) is not None
         )
     g_flat = grid_dft_to_flat(g_dft, dim, M, batch_size)
-    return gather(g_flat, pos, batch, batch_size, N, m, sigma, strategy, plan=plan)
+    return gather(g_flat, pos, batch, batch_size, N, m, sigma, strategy, plan=plan,
+                  window=window)
 
 
 @partial(
     jax.jit,
-    static_argnames=("batch_size", "N", "m", "sigma", "strategy"),
+    static_argnames=("batch_size", "N", "m", "sigma", "strategy", "window"),
 )
 def nfft_adjoint_planar(
     x,
@@ -115,6 +130,7 @@ def nfft_adjoint_planar(
     m,
     sigma=DEFAULT_SIGMA,
     strategy="auto",
+    window=DEFAULT_WINDOW,
 ):
     """Adjoint NFFT of real samples, planar output.
 
@@ -123,6 +139,7 @@ def nfft_adjoint_planar(
     n, dim = pos.shape
     M = int(round(sigma * N))
     C = x.shape[1]
+    _check_window_match(window, plan)
 
     if M <= PRUNED_MAX:
         # DFT-layout flow: fold-spread straight into (B, L1, .., C, L0)
@@ -135,29 +152,32 @@ def nfft_adjoint_planar(
         with jax.named_scope("nfft_spread"):
             g_dft = _spread_dft(
                 x, pos, batch, plan, batch_size, N, m, sigma, strategy, dim,
-                use_plan,
+                use_plan, window,
             )
         with jax.named_scope("nfft_fft_rolloff"):
             return spectral_adjoint_pruned_dft(
-                g_dft, None, dim, N, m, sigma, M=M, cells=cells
+                g_dft, None, dim, N, m, sigma, M=M, cells=cells, window=window
             )
 
     with jax.named_scope("nfft_spread"):
-        g = spread(x, pos, batch, batch_size, N, m, sigma, strategy, plan=plan)
+        g = spread(x, pos, batch, batch_size, N, m, sigma, strategy, plan=plan,
+                   window=window)
         g = g.reshape((batch_size,) + (M,) * dim + (C,))
 
     with jax.named_scope("nfft_fft"):
         gr, gi = fftn_planar(g, None, axes=tuple(range(1, dim + 1)), sign=+1)
 
     with jax.named_scope("nfft_rolloff"):
-        yr = apply_phi_hat_inv(centered_crop(gr, dim, N, 1), dim, N, m, sigma, 1)
-        yi = apply_phi_hat_inv(centered_crop(gi, dim, N, 1), dim, N, m, sigma, 1)
+        yr = apply_phi_hat_inv(centered_crop(gr, dim, N, 1), dim, N, m, sigma, 1,
+                               window=window)
+        yi = apply_phi_hat_inv(centered_crop(gi, dim, N, 1), dim, N, m, sigma, 1,
+                               window=window)
     return yr, yi
 
 
 @partial(
     jax.jit,
-    static_argnames=("batch_size", "dim", "m", "sigma", "strategy", "real_output"),
+    static_argnames=("batch_size", "dim", "m", "sigma", "strategy", "real_output", "window"),
 )
 def nfft_forward_planar(
     xr,
@@ -172,6 +192,7 @@ def nfft_forward_planar(
     sigma=DEFAULT_SIGMA,
     strategy="auto",
     real_output=False,
+    window=DEFAULT_WINDOW,
 ):
     """Forward NFFT of a planar spectrum, planar output.
 
@@ -185,6 +206,7 @@ def nfft_forward_planar(
     N = xr.shape[1]
     M = int(round(sigma * N))
     C = xr.shape[-1]
+    _check_window_match(window, plan)
 
     if M <= PRUNED_MAX:
         itemsize = jnp.dtype(xr.dtype).itemsize
@@ -208,37 +230,41 @@ def nfft_forward_planar(
         use_plan, cells = (use_plan1, cells1) if split_planes else (use_plan2, cells2)
         with jax.named_scope("nfft_rolloff_fft"):
             gr_dft, gi_dft = spectral_forward_pruned_dft(
-                xr, xi, dim, M, m, sigma, cells=cells, real_only=real_output
+                xr, xi, dim, M, m, sigma, cells=cells, real_only=real_output,
+                window=window,
             )
         with jax.named_scope("nfft_gather"):
             if split_planes:
                 yr = _gather_dft(
                     gr_dft, pos, batch, plan, batch_size, N, m, sigma,
-                    strategy, use_plan,
+                    strategy, use_plan, window,
                 )
                 if real_output:
                     return yr, None
                 yi = _gather_dft(
                     gi_dft, pos, batch, plan, batch_size, N, m, sigma,
-                    strategy, use_plan,
+                    strategy, use_plan, window,
                 )
                 return yr, yi
             # Planes ride the column axis (axis -2 in the DFT layout).
             g2_dft = jnp.concatenate([gr_dft, gi_dft], axis=-2)
             y = _gather_dft(
                 g2_dft, pos, batch, plan, batch_size, N, m, sigma, strategy,
-                use_plan,
+                use_plan, window,
             )
         return y[:, :C], y[:, C:]
 
     with jax.named_scope("nfft_rolloff"):
         wr = centered_embed(
-            apply_phi_hat_inv(xr, dim, N, m, sigma, 1), dim, N, M, 1
+            apply_phi_hat_inv(xr, dim, N, m, sigma, 1, window=window), dim, N, M, 1
         )
         wi = (
             None
             if xi is None
-            else centered_embed(apply_phi_hat_inv(xi, dim, N, m, sigma, 1), dim, N, M, 1)
+            else centered_embed(
+                apply_phi_hat_inv(xi, dim, N, m, sigma, 1, window=window),
+                dim, N, M, 1,
+            )
         )
 
     with jax.named_scope("nfft_fft"):
@@ -248,7 +274,7 @@ def nfft_forward_planar(
         if real_output:
             yr = gather(
                 gr.reshape(batch_size * M**dim, C), pos, batch, batch_size,
-                N, m, sigma, strategy, plan=plan,
+                N, m, sigma, strategy, plan=plan, window=window,
             )
             return yr, None
         # Planes ride the column axis through one gather call.
@@ -256,13 +282,14 @@ def nfft_forward_planar(
             [gr.reshape(batch_size * M**dim, C), gi.reshape(batch_size * M**dim, C)],
             axis=1,
         )
-        y = gather(g2, pos, batch, batch_size, N, m, sigma, strategy, plan=plan)
+        y = gather(g2, pos, batch, batch_size, N, m, sigma, strategy, plan=plan,
+                   window=window)
     return y[:, :C], y[:, C:]
 
 
 @partial(
     jax.jit,
-    static_argnames=("batch_size", "N", "m", "sigma", "strategy", "slot_io"),
+    static_argnames=("batch_size", "N", "m", "sigma", "strategy", "slot_io", "window"),
 )
 def nfft_fastsum_real(
     x,
@@ -280,6 +307,7 @@ def nfft_fastsum_real(
     sigma=DEFAULT_SIGMA,
     strategy="auto",
     slot_io=False,
+    window=DEFAULT_WINDOW,
 ):
     """Fastsum for real samples and real kernel coefficients, real output.
 
@@ -298,6 +326,7 @@ def nfft_fastsum_real(
     M = int(round(sigma * N))
     C = x.shape[0] if slot_io else x.shape[1]
     axes = tuple(range(1, dim + 1))
+    _check_window_match(window, source_plan, target_plan)
 
     if slot_io:
         from .binned import gather_binned_dft_slot, spread_binned_dft_slot
@@ -319,7 +348,7 @@ def nfft_fastsum_real(
             )
         with jax.named_scope("fastsum_fft_adjoint"):
             sr, si = spectral_adjoint_pruned_dft(
-                g_dft, None, dim, N, m, sigma, M=M, cells=cells_s
+                g_dft, None, dim, N, m, sigma, M=M, cells=cells_s, window=window
             )
         with jax.named_scope("fastsum_kernel_convolution"):
             cf = coeffs[None, ..., None]
@@ -327,7 +356,8 @@ def nfft_fastsum_real(
             si = si * cf
         with jax.named_scope("fastsum_fft_forward"):
             gr_dft, _ = spectral_forward_pruned_dft(
-                sr, si, dim, M, m, sigma, cells=cells_t, real_only=True
+                sr, si, dim, M, m, sigma, cells=cells_t, real_only=True,
+                window=window,
             )
         with jax.named_scope("fastsum_gather"):
             return gather_binned_dft_slot(
@@ -349,11 +379,11 @@ def nfft_fastsum_real(
         with jax.named_scope("fastsum_spread"):
             g_dft = _spread_dft(
                 x, sources, source_batch, source_plan,
-                batch_size, N, m, sigma, strategy, dim, use_s,
+                batch_size, N, m, sigma, strategy, dim, use_s, window,
             )
         with jax.named_scope("fastsum_fft_adjoint"):
             sr, si = spectral_adjoint_pruned_dft(
-                g_dft, None, dim, N, m, sigma, M=M, cells=cells_s
+                g_dft, None, dim, N, m, sigma, M=M, cells=cells_s, window=window
             )
         with jax.named_scope("fastsum_kernel_convolution"):
             cf = coeffs[None, ..., None]
@@ -363,24 +393,26 @@ def nfft_fastsum_real(
             # real_only: the output is real, so the imaginary grid plane
             # (whose gather would be discarded below) is never built.
             gr_dft, _ = spectral_forward_pruned_dft(
-                sr, si, dim, M, m, sigma, cells=cells_t, real_only=True
+                sr, si, dim, M, m, sigma, cells=cells_t, real_only=True,
+                window=window,
             )
         with jax.named_scope("fastsum_gather"):
             # Only the real plane matters for the (real) output.
             return _gather_dft(
                 gr_dft, targets, target_batch, target_plan,
-                batch_size, N, m, sigma, strategy, use_t,
+                batch_size, N, m, sigma, strategy, use_t, window,
             )
 
     with jax.named_scope("fastsum_spread"):
-        g = spread(x, sources, source_batch, batch_size, N, m, sigma, strategy, plan=source_plan)
+        g = spread(x, sources, source_batch, batch_size, N, m, sigma, strategy,
+                   plan=source_plan, window=window)
         g = g.reshape((batch_size,) + (M,) * dim + (C,))
 
     with jax.named_scope("fastsum_fft_adjoint"):
         gr, gi = fftn_planar(g, None, axes=axes, sign=+1)
 
     with jax.named_scope("fastsum_kernel_convolution"):
-        filt = fastsum_band_filter(coeffs, N, m, M, sigma)[None, ..., None]
+        filt = fastsum_band_filter(coeffs, N, m, M, sigma, window=window)[None, ..., None]
         gr = gr * filt
         gi = gi * filt
 
@@ -399,5 +431,6 @@ def nfft_fastsum_real(
             sigma,
             strategy,
             plan=target_plan,
+            window=window,
         )
     return y

@@ -74,13 +74,14 @@ def centered_embed(
 
 
 def phi_hat_inv_outer(
-    dim: int, N: int, m: int, sigma: float = 2.0, dtype=jnp.float32
+    dim: int, N: int, m: int, sigma: float = 2.0, dtype=jnp.float32,
+    window: str = "gaussian",
 ) -> jax.Array:
     """Separable product of centered phi_hat_inv vectors, shape (N,)*dim.
 
     out[i_0, ..., i_{d-1}] = prod_d phi_hat_inv(i_d - N/2).
     """
-    v = phi_hat_inv_centered(N, m, sigma, dtype=dtype)
+    v = phi_hat_inv_centered(N, m, sigma, dtype=dtype, window=window)
     out = v
     for _ in range(dim - 1):
         out = out[..., None] * v
@@ -88,7 +89,8 @@ def phi_hat_inv_outer(
 
 
 def apply_phi_hat_inv(
-    y: jax.Array, dim: int, N: int, m: int, sigma: float = 2.0, spatial_axis0: int = 1
+    y: jax.Array, dim: int, N: int, m: int, sigma: float = 2.0, spatial_axis0: int = 1,
+    window: str = "gaussian",
 ) -> jax.Array:
     """Multiply centered spectral data by the separable phi_hat_inv factors.
 
@@ -96,7 +98,7 @@ def apply_phi_hat_inv(
     multiplications into a single elementwise pass.
     """
     real_dtype = jnp.finfo(y.dtype).dtype if jnp.issubdtype(y.dtype, jnp.complexfloating) else y.dtype
-    v = phi_hat_inv_centered(N, m, sigma, dtype=real_dtype)
+    v = phi_hat_inv_centered(N, m, sigma, dtype=real_dtype, window=window)
     for ax in range(spatial_axis0, spatial_axis0 + dim):
         shape = [1] * y.ndim
         shape[ax] = N
@@ -105,7 +107,8 @@ def apply_phi_hat_inv(
 
 
 def fastsum_band_filter(
-    coeffs: jax.Array, N: int, m: int, M: int, sigma: float = 2.0
+    coeffs: jax.Array, N: int, m: int, M: int, sigma: float = 2.0,
+    window: str = "gaussian",
 ) -> jax.Array:
     """Spectral filter for the fastsum pipeline, shape (M,)*dim.
 
@@ -124,7 +127,7 @@ def fastsum_band_filter(
         if jnp.issubdtype(coeffs.dtype, jnp.complexfloating)
         else coeffs.dtype
     )
-    phi2 = phi_hat_inv_outer(dim, N, m, sigma, dtype=real_dtype) ** 2
+    phi2 = phi_hat_inv_outer(dim, N, m, sigma, dtype=real_dtype, window=window) ** 2
     band = coeffs * phi2
     # Add a dummy leading axis so spatial_axis0=1 matches centered_embed's
     # convention, then strip it again.

@@ -41,6 +41,7 @@ def window_weights_and_indices(
     N: int,
     m: int,
     sigma: float = 2.0,
+    window: str = "gaussian",
 ):
     """Flat grid indices and separable window weights for every point.
 
@@ -54,7 +55,7 @@ def window_weights_and_indices(
     n, dim = pos.shape
     M = int(round(sigma * N))
     shifts = compute_shifts(pos, N, m, sigma)  # (n, dim) int32
-    psi = compute_psi(pos, shifts, N, m, sigma)  # (n, dim, L)
+    psi = compute_psi(pos, shifts, N, m, sigma, window)  # (n, dim, L)
     ls = window_index_offsets(dim, m)  # (W, dim)
     W = ls.shape[0]
 
@@ -86,7 +87,7 @@ def _auto_chunk(n: int, W: int, C: int, itemsize: int, budget_bytes: int = 1 << 
 # ---------------------------------------------------------------------------
 
 
-def _spread_scatter(x, pos, batch, batch_size, N, m, sigma, point_chunk):
+def _spread_scatter(x, pos, batch, batch_size, N, m, sigma, point_chunk, window="gaussian"):
     n, dim = pos.shape
     C = x.shape[1]
     M = int(round(sigma * N))
@@ -99,7 +100,7 @@ def _spread_scatter(x, pos, batch, batch_size, N, m, sigma, point_chunk):
         point_chunk = _auto_chunk(n, W, C, x.dtype.itemsize)
 
     if point_chunk >= n:
-        flat_idx, weights = window_weights_and_indices(pos, batch, N, m, sigma)
+        flat_idx, weights = window_weights_and_indices(pos, batch, N, m, sigma, window)
         vals = x[:, None, :] * weights[..., None].astype(x.dtype)
         g = g.at[flat_idx.reshape(-1)].add(
             vals.reshape(-1, C), mode="drop", unique_indices=False
@@ -121,7 +122,7 @@ def _spread_scatter(x, pos, batch, batch_size, N, m, sigma, point_chunk):
         batch_c = jax.lax.dynamic_slice_in_dim(batch_p, sl, point_chunk, 0)
         x_c = jax.lax.dynamic_slice_in_dim(x_p, sl, point_chunk, 0)
         valid_c = jax.lax.dynamic_slice_in_dim(valid, sl, point_chunk, 0)
-        flat_idx, weights = window_weights_and_indices(pos_c, batch_c, N, m, sigma)
+        flat_idx, weights = window_weights_and_indices(pos_c, batch_c, N, m, sigma, window)
         weights = weights * valid_c[:, None]
         vals = x_c[:, None, :] * weights[..., None].astype(x_c.dtype)
         return g_acc.at[flat_idx.reshape(-1)].add(
@@ -134,7 +135,7 @@ def _spread_scatter(x, pos, batch, batch_size, N, m, sigma, point_chunk):
     return jax.lax.fori_loop(1, n_chunks, body, g)
 
 
-def _gather_scatter(g_flat, pos, batch, N, m, sigma, point_chunk):
+def _gather_scatter(g_flat, pos, batch, N, m, sigma, point_chunk, window="gaussian"):
     """Gather strategy shared with the scatter spread (gathers are cheap on TPU)."""
     n, dim = pos.shape
     C = g_flat.shape[1]
@@ -144,7 +145,7 @@ def _gather_scatter(g_flat, pos, batch, N, m, sigma, point_chunk):
         point_chunk = _auto_chunk(n, W, C, g_flat.dtype.itemsize)
 
     if point_chunk >= n:
-        flat_idx, weights = window_weights_and_indices(pos, batch, N, m, sigma)
+        flat_idx, weights = window_weights_and_indices(pos, batch, N, m, sigma, window)
         vals = jnp.take(g_flat, flat_idx, axis=0)  # (n, W, C)
         return jnp.einsum("nw,nwc->nc", weights.astype(vals.real.dtype), vals, precision=_P)
 
@@ -158,7 +159,7 @@ def _gather_scatter(g_flat, pos, batch, N, m, sigma, point_chunk):
         sl = i * point_chunk
         pos_c = jax.lax.dynamic_slice_in_dim(pos_p, sl, point_chunk, 0)
         batch_c = jax.lax.dynamic_slice_in_dim(batch_p, sl, point_chunk, 0)
-        flat_idx, weights = window_weights_and_indices(pos_c, batch_c, N, m, sigma)
+        flat_idx, weights = window_weights_and_indices(pos_c, batch_c, N, m, sigma, window)
         flat_idx = jnp.minimum(flat_idx, g_flat.shape[0] - 1)
         vals = jnp.take(g_flat, flat_idx, axis=0)
         y_c = jnp.einsum("nw,nwc->nc", weights.astype(vals.real.dtype), vals, precision=_P)
@@ -174,7 +175,7 @@ def _gather_scatter(g_flat, pos, batch, N, m, sigma, point_chunk):
 # ---------------------------------------------------------------------------
 
 
-def _onehot_rows(pos, batch, batch_size, N, m, sigma, fold_batch_dim):
+def _onehot_rows(pos, batch, batch_size, N, m, sigma, fold_batch_dim, window="gaussian"):
     """Per-dimension dense one-hot window matrices.
 
     Returns a list of dim arrays; entry d has shape (n, M) — or
@@ -184,7 +185,7 @@ def _onehot_rows(pos, batch, batch_size, N, m, sigma, fold_batch_dim):
     n, dim = pos.shape
     M = int(round(sigma * N))
     shifts = compute_shifts(pos, N, m, sigma)
-    psi = compute_psi(pos, shifts, N, m, sigma)  # (n, dim, L)
+    psi = compute_psi(pos, shifts, N, m, sigma, window)  # (n, dim, L)
     L = 2 * m + 2
     mats = []
     for d in range(dim):
@@ -213,11 +214,11 @@ def _complex_matmul(a_real, b):
     return jnp.matmul(a_real, b, preferred_element_type=b.dtype, precision=_P)
 
 
-def _spread_matmul(x, pos, batch, batch_size, N, m, sigma):
+def _spread_matmul(x, pos, batch, batch_size, N, m, sigma, window="gaussian"):
     n, dim = pos.shape
     C = x.shape[1]
     M = int(round(sigma * N))
-    mats = _onehot_rows(pos, batch, batch_size, N, m, sigma, fold_batch_dim=0)
+    mats = _onehot_rows(pos, batch, batch_size, N, m, sigma, 0, window)
 
     if dim == 1:
         # g[(b,u), c] = sum_j S0[j,(b,u)] x[j,c]
@@ -237,11 +238,11 @@ def _spread_matmul(x, pos, batch, batch_size, N, m, sigma):
     return g.reshape(batch_size * M * M * M, C)
 
 
-def _gather_matmul(g_flat, pos, batch, batch_size, N, m, sigma):
+def _gather_matmul(g_flat, pos, batch, batch_size, N, m, sigma, window="gaussian"):
     n, dim = pos.shape
     C = g_flat.shape[1]
     M = int(round(sigma * N))
-    mats = _onehot_rows(pos, batch, batch_size, N, m, sigma, fold_batch_dim=0)
+    mats = _onehot_rows(pos, batch, batch_size, N, m, sigma, 0, window)
 
     if dim == 1:
         return _complex_matmul(mats[0], g_flat.reshape(batch_size * M, C))
@@ -287,6 +288,7 @@ def spread(
     strategy: str = "auto",
     point_chunk: int | None = None,
     plan=None,
+    window: str = "gaussian",
 ) -> jax.Array:
     """Window-convolve irregular samples onto the oversampled grid.
 
@@ -311,11 +313,12 @@ def spread(
         else:
             from .binned import build_plan, spread_binned
 
-            plan = build_plan(pos, batch, N=N, m=m, sigma=sigma, batch_size=batch_size)
+            plan = build_plan(pos, batch, N=N, m=m, sigma=sigma,
+                              batch_size=batch_size, window=window)
             return spread_binned(plan, x, pos, batch_size=batch_size)
     if strat == "matmul":
-        return _spread_matmul(x, pos, batch, batch_size, N, m, sigma)
-    return _spread_scatter(x, pos, batch, batch_size, N, m, sigma, point_chunk)
+        return _spread_matmul(x, pos, batch, batch_size, N, m, sigma, window)
+    return _spread_scatter(x, pos, batch, batch_size, N, m, sigma, point_chunk, window)
 
 
 def gather(
@@ -329,6 +332,7 @@ def gather(
     strategy: str = "auto",
     point_chunk: int | None = None,
     plan=None,
+    window: str = "gaussian",
 ) -> jax.Array:
     """Interpolate grid values back to irregular points (transpose of spread).
 
@@ -350,8 +354,9 @@ def gather(
         else:
             from .binned import build_plan, gather_binned
 
-            plan = build_plan(pos, batch, N=N, m=m, sigma=sigma, batch_size=batch_size)
+            plan = build_plan(pos, batch, N=N, m=m, sigma=sigma,
+                              batch_size=batch_size, window=window)
             return gather_binned(plan, g_flat, pos)
     if strat == "matmul":
-        return _gather_matmul(g_flat, pos, batch, batch_size, N, m, sigma)
-    return _gather_scatter(g_flat, pos, batch, N, m, sigma, point_chunk)
+        return _gather_matmul(g_flat, pos, batch, batch_size, N, m, sigma, window)
+    return _gather_scatter(g_flat, pos, batch, N, m, sigma, point_chunk, window)

@@ -45,6 +45,7 @@ __all__ = [
 ]
 
 DEFAULT_SIGMA = 2.0
+DEFAULT_WINDOW = "gaussian"
 
 
 class StreamedLayout:
@@ -56,13 +57,15 @@ class StreamedLayout:
     problems, which fall back to the scatter/matmul engines).
     """
 
-    def __init__(self, pos_stack, counts, plans, N, m, sigma):
+    def __init__(self, pos_stack, counts, plans, N, m, sigma,
+                 window=DEFAULT_WINDOW):
         self.pos_stack = pos_stack
         self.counts = counts
         self.plans = plans
         self.N = int(N)
         self.m = int(m)
         self.sigma = float(sigma)
+        self.window = str(window)
 
     @property
     def batch_size(self) -> int:
@@ -98,21 +101,27 @@ def make_streamed_layout(
     sigma: float = DEFAULT_SIGMA,
     plan: bool = True,
     T: int | None = None,
+    window: str = DEFAULT_WINDOW,
 ) -> StreamedLayout:
     """Split (pos, batch) into members and build the per-member plan stack."""
     pos_stack, _, counts, _ = split_by_batch(pos, None, batch, batch_size)
     plans = (
-        build_plan_stack(pos_stack, N=N, m=m, sigma=sigma, T=T) if plan else None
+        build_plan_stack(pos_stack, N=N, m=m, sigma=sigma, T=T, window=window)
+        if plan
+        else None
     )
-    return StreamedLayout(jnp.asarray(pos_stack), counts, plans, N, m, sigma)
+    return StreamedLayout(
+        jnp.asarray(pos_stack), counts, plans, N, m, sigma, window
+    )
 
 
 def _member_plan(layout, i):
     return None if layout.plans is None else index_plan(layout.plans, i)
 
 
-@partial(jax.jit, static_argnames=("N", "m", "sigma", "strategy"))
-def _adjoint_streamed_impl(x_stack, pos_stack, plans, *, N, m, sigma, strategy):
+@partial(jax.jit, static_argnames=("N", "m", "sigma", "strategy", "window"))
+def _adjoint_streamed_impl(x_stack, pos_stack, plans, *, N, m, sigma, strategy,
+                           window=DEFAULT_WINDOW):
     B, n_max, C = x_stack.shape
     dim = pos_stack.shape[-1]
     batch0 = jnp.zeros((n_max,), jnp.int32)
@@ -132,6 +141,7 @@ def _adjoint_streamed_impl(x_stack, pos_stack, plans, *, N, m, sigma, strategy):
             m=m,
             sigma=sigma,
             strategy=strategy,
+            window=window,
         )
         out_r = jax.lax.dynamic_update_index_in_dim(out_r, yr[0], i, 0)
         out_i = jax.lax.dynamic_update_index_in_dim(out_i, yi[0], i, 0)
@@ -169,6 +179,7 @@ def nfft_adjoint_streamed(
             m=layout.m,
             sigma=layout.sigma,
             strategy=strategy,
+            window=layout.window,
         )
         for lo, hi in chunks
     ]
@@ -178,8 +189,9 @@ def nfft_adjoint_streamed(
     return yr.reshape(shp), yi.reshape(shp)
 
 
-@partial(jax.jit, static_argnames=("dim", "m", "sigma", "strategy"))
-def _forward_streamed_impl(xr, xi, pos_stack, plans, *, dim, m, sigma, strategy):
+@partial(jax.jit, static_argnames=("dim", "m", "sigma", "strategy", "window"))
+def _forward_streamed_impl(xr, xi, pos_stack, plans, *, dim, m, sigma, strategy,
+                           window=DEFAULT_WINDOW):
     B = xr.shape[0]
     n_max = pos_stack.shape[1]
     C = xr.shape[-1]
@@ -201,6 +213,7 @@ def _forward_streamed_impl(xr, xi, pos_stack, plans, *, dim, m, sigma, strategy)
             m=m,
             sigma=sigma,
             strategy=strategy,
+            window=window,
         )
         out_r = jax.lax.dynamic_update_index_in_dim(out_r, yr, i, 0)
         out_i = jax.lax.dynamic_update_index_in_dim(out_i, yi, i, 0)
@@ -240,6 +253,7 @@ def nfft_forward_streamed(
             m=layout.m,
             sigma=layout.sigma,
             strategy=strategy,
+            window=layout.window,
         )
         for lo, hi in chunks
     ]
@@ -248,10 +262,10 @@ def nfft_forward_streamed(
     return yr.reshape((-1,) + trailing), yi.reshape((-1,) + trailing)
 
 
-@partial(jax.jit, static_argnames=("N", "m", "sigma", "strategy"))
+@partial(jax.jit, static_argnames=("N", "m", "sigma", "strategy", "window"))
 def _fastsum_streamed_impl(
     x_stack, coeffs, src_stack, tgt_stack, src_plans, tgt_plans,
-    *, N, m, sigma, strategy
+    *, N, m, sigma, strategy, window=DEFAULT_WINDOW
 ):
     B, n_src, C = x_stack.shape
     n_tgt = tgt_stack.shape[1]
@@ -276,6 +290,7 @@ def _fastsum_streamed_impl(
             m=m,
             sigma=sigma,
             strategy=strategy,
+            window=window,
         )
         return jax.lax.dynamic_update_index_in_dim(out, y, i, 0)
 
@@ -317,6 +332,7 @@ def nfft_fastsum_streamed(
             m=source_layout.m,
             sigma=source_layout.sigma,
             strategy=strategy,
+            window=source_layout.window,
         )
         for lo, hi in chunks
     ]

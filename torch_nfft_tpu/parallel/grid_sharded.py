@@ -85,6 +85,7 @@ class GridShardedLayout:
     sigma: float
     T: int
     A0_loc: int  # axis-0 tiles per shard
+    window: str = "gaussian"
 
 
 def build_grid_sharded_layout(
@@ -96,6 +97,7 @@ def build_grid_sharded_layout(
     sigma: float = 2.0,
     T: int | None = None,
     K: int | None = None,
+    window: str = "gaussian",
 ) -> GridShardedLayout:
     """Partition ``pos`` by axis-0 tile slab and build one plan per shard.
 
@@ -146,7 +148,8 @@ def build_grid_sharded_layout(
             point_index[p, : idx.size] = idx
         pos_stack[p] = pos_p
         plan = build_plan(
-            pos_p, None, N=N, m=m, sigma=sigma, batch_size=1, T=T, K=K_sh
+            pos_p, None, N=N, m=m, sigma=sigma, batch_size=1, T=T, K=K_sh,
+            window=window,
         )
         if K_sh is None:
             K_sh = plan.K
@@ -165,6 +168,7 @@ def build_grid_sharded_layout(
         sigma=float(sigma),
         T=int(T),
         A0_loc=int(A0_loc),
+        window=str(window),
     )
 
 
@@ -300,7 +304,7 @@ def _unfold_dft_slab(g_dft, plan, C: int, A0_loc: int, axis_name,
 
 
 def spectral_adjoint_pruned_dft_sharded0(
-    gr, gi, dim, N, m, sigma, axis_name, M, cells=None
+    gr, gi, dim, N, m, sigma, axis_name, M, cells=None, window="gaussian"
 ):
     """Adjoint spectral stage for a grid sharded on AXIS 0 (the minor L0 axis
     of the DFT layout). Local row-block contraction + one psum; gi may be
@@ -313,7 +317,7 @@ def spectral_adjoint_pruned_dft_sharded0(
             f"local slab length {L0_loc} does not divide axis length {L0}"
         )
     idx = jax.lax.axis_index(axis_name)
-    cr, ci = _pruned_mats_np(N, M, m, float(sigma), +1, off0, L0)
+    cr, ci = _pruned_mats_np(N, M, m, float(sigma), +1, off0, L0, window)
     mr = jax.lax.dynamic_slice_in_dim(jnp.asarray(cr), idx * L0_loc, L0_loc, 0)
     mi = jax.lax.dynamic_slice_in_dim(jnp.asarray(ci), idx * L0_loc, L0_loc, 0)
     ax = gr.ndim - 1
@@ -325,7 +329,7 @@ def spectral_adjoint_pruned_dft_sharded0(
     gr, gi = rr, ri
     for d in range(1, dim):
         off, L = spec[d]
-        crd, cid = _pruned_mats_np(N, M, m, float(sigma), +1, off, L)
+        crd, cid = _pruned_mats_np(N, M, m, float(sigma), +1, off, L, window)
         mrd, mid = jnp.asarray(crd), jnp.asarray(cid)
         rr = _axis_contract(gr, mrd, d) - _axis_contract(gi, mid, d)
         ri = _axis_contract(gr, mid, d) + _axis_contract(gi, mrd, d)
@@ -338,7 +342,7 @@ def spectral_adjoint_pruned_dft_sharded0(
 
 def spectral_forward_pruned_dft_sharded0(
     xr, xi, dim, M, m, sigma, axis_name, n_shards, cells=None,
-    real_only=False,
+    real_only=False, window="gaussian",
 ):
     """Forward spectral stage producing this shard's AXIS-0 grid slab from
     the replicated spectrum — fully local, zero collectives. ``real_only``
@@ -355,7 +359,7 @@ def spectral_forward_pruned_dft_sharded0(
     xr = xr.transpose(perm)
     xi = None if xi is None else xi.transpose(perm)
 
-    cr, ci = _pruned_mats_np(N, M, m, float(sigma), -1, off0, L0)
+    cr, ci = _pruned_mats_np(N, M, m, float(sigma), -1, off0, L0, window)
     mr_f = jnp.asarray(np.ascontiguousarray(cr.T))  # (N, L0)
     mi_f = jnp.asarray(np.ascontiguousarray(ci.T))
     mr = jax.lax.dynamic_slice_in_dim(mr_f, idx * L0_loc, L0_loc, 1)
@@ -363,7 +367,7 @@ def spectral_forward_pruned_dft_sharded0(
 
     def mats(d):
         off, L = spec[d]
-        crd, cid = _pruned_mats_np(N, M, m, float(sigma), -1, off, L)
+        crd, cid = _pruned_mats_np(N, M, m, float(sigma), -1, off, L, window)
         return (
             jnp.asarray(np.ascontiguousarray(crd.T)),
             jnp.asarray(np.ascontiguousarray(cid.T)),
@@ -427,7 +431,7 @@ def nfft_adjoint_grid_sharded(
         )
         g_slab = _fold_dft_slab(tiles, plan, C, lay.A0_loc, axis_name, n_shards)
         yr, yi = spectral_adjoint_pruned_dft_sharded0(
-            g_slab, None, dim, N, m, sigma, axis_name, M
+            g_slab, None, dim, N, m, sigma, axis_name, M, window=lay.window
         )
         return yr, yi
 
@@ -462,7 +466,7 @@ def nfft_forward_grid_sharded(
         tid = _local_tile_ids(plan, lay.A0_loc, idx)
         gr, gi = spectral_forward_pruned_dft_sharded0(
             xr_r, xi_r, dim, M, m, sigma, axis_name, n_shards,
-            real_only=real_output,
+            real_only=real_output, window=lay.window,
         )
         outs = []
         for g in (gr,) if real_output else (gr, gi):
@@ -535,13 +539,14 @@ def nfft_fastsum_grid_sharded(
         tiles = _dense_tiles_xla(plan, xs_l[0], pos32, 1, tid=tid, NT=NT)
         g_slab = _fold_dft_slab(tiles, plan, C, lay.A0_loc, axis_name, n_shards)
         sr, si = spectral_adjoint_pruned_dft_sharded0(
-            g_slab, None, dim, N, m, sigma, axis_name, M
+            g_slab, None, dim, N, m, sigma, axis_name, M, window=lay.window
         )
         cf = coeffs_r[None, ..., None]
         sr = sr * cf
         si = si * cf
         gr, _ = spectral_forward_pruned_dft_sharded0(
-            sr, si, dim, M, m, sigma, axis_name, n_shards, real_only=True
+            sr, si, dim, M, m, sigma, axis_name, n_shards, real_only=True,
+            window=lay.window,
         )
         tiles2 = _unfold_dft_slab(
             gr[0] if dim == 3 else gr, plan, C, lay.A0_loc, axis_name,

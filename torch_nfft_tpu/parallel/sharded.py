@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from ..ops.nfft import DEFAULT_SIGMA, _complex_dtype_for
+from ..ops.nfft import DEFAULT_SIGMA, DEFAULT_WINDOW, _complex_dtype_for
 from ..ops.plan_stack import squeeze_plan
 from ..ops.spectral import (
     apply_phi_hat_inv,
@@ -60,6 +60,7 @@ def build_sharded_plans(
     m: int,
     sigma: float = DEFAULT_SIGMA,
     batch_size: int | None = None,
+    window: str = DEFAULT_WINDOW,
 ):
     """Per-shard binned plans for the sharded transforms.
 
@@ -95,7 +96,7 @@ def build_sharded_plans(
         sl = slice(s * n_loc, (s + 1) * n_loc)
         p = build_plan(
             pos[sl], batch[sl], N=N, m=m, sigma=sigma, batch_size=batch_size,
-            T=T, K=K,
+            T=T, K=K, window=window,
         )
         if K is None:
             K, T = p.K, p.T
@@ -116,6 +117,7 @@ def fastsum_local(
     N,
     m,
     sigma=DEFAULT_SIGMA,
+    window=DEFAULT_WINDOW,
     strategy="auto",
     points_axis=None,
     cdtype=None,
@@ -144,34 +146,36 @@ def fastsum_local(
         axes = tuple(range(1, dim + 1))
         g = spread(
             xf, sources, source_batch, batch_size, N, m, sigma, strategy,
-            plan=source_plan,
+            plan=source_plan, window=window,
         )
         if points_axis is not None:
             g = jax.lax.psum(g, points_axis)
         g = g.reshape((batch_size,) + (M,) * dim + (C,))
         gr, gi = fftn_planar(g, None, axes=axes, sign=+1)
-        filt = fastsum_band_filter(coeffs, N, m, M, sigma)[None, ..., None]
+        filt = fastsum_band_filter(coeffs, N, m, M, sigma, window=window)[None, ..., None]
         gr = gr * filt
         gi = gi * filt
         gr, _ = fftn_planar(gr, gi, axes=axes, sign=-1)
         return gather(
             gr.reshape(batch_size * M**dim, C), targets, target_batch,
-            batch_size, N, m, sigma, strategy, plan=target_plan,
+            batch_size, N, m, sigma, strategy, plan=target_plan, window=window,
         )
 
     if cdtype is None:
         cdtype = jnp.result_type(_complex_dtype_for(xf), _complex_dtype_for(coeffs))
 
-    g = spread(xf, sources, source_batch, batch_size, N, m, sigma, strategy, plan=source_plan)
+    g = spread(xf, sources, source_batch, batch_size, N, m, sigma, strategy,
+               plan=source_plan, window=window)
     if points_axis is not None:
         g = jax.lax.psum(g, points_axis)
     g = g.reshape((batch_size,) + (M,) * dim + (C,))
     g_hat = jnp.fft.ifftn(g.astype(cdtype), axes=tuple(range(1, dim + 1)), norm="forward")
-    filt = fastsum_band_filter(coeffs, N, m, M, sigma)
+    filt = fastsum_band_filter(coeffs, N, m, M, sigma, window=window)
     g_hat = g_hat * filt[None, ..., None].astype(cdtype)
     g2 = jnp.fft.fftn(g_hat, axes=tuple(range(1, dim + 1)))
     g2_flat = g2.reshape(batch_size * M**dim, C)
-    y = gather(g2_flat, targets, target_batch, batch_size, N, m, sigma, strategy, plan=target_plan)
+    y = gather(g2_flat, targets, target_batch, batch_size, N, m, sigma, strategy,
+               plan=target_plan, window=window)
     if not jnp.issubdtype(xf.dtype, jnp.complexfloating):
         y = y.real
     return y
@@ -197,6 +201,7 @@ def nfft_adjoint_sharded(
     cols_axis=None,
     batch_size=None,
     sigma=DEFAULT_SIGMA,
+    window=DEFAULT_WINDOW,
     strategy="auto",
     plans=None,
 ):
@@ -222,7 +227,8 @@ def nfft_adjoint_sharded(
 
     def local(xf, pos, batch, plans):
         plan = None if plans is None else squeeze_plan(plans)
-        g = spread(xf, pos, batch, batch_size, N, m, sigma, strategy, plan=plan)
+        g = spread(xf, pos, batch, batch_size, N, m, sigma, strategy, plan=plan,
+                   window=window)
         g = jax.lax.psum(g, points_axis)
         g = g.reshape((batch_size,) + (M,) * dim + (C,))
         g_hat = jnp.fft.ifftn(
@@ -231,7 +237,7 @@ def nfft_adjoint_sharded(
             norm="forward",
         )
         y = centered_crop(g_hat, dim, N, spatial_axis0=1)
-        y = apply_phi_hat_inv(y, dim, N, m, sigma, spatial_axis0=1)
+        y = apply_phi_hat_inv(y, dim, N, m, sigma, spatial_axis0=1, window=window)
         return y.real if real_output else y
 
     cspec = (cols_axis,)
@@ -262,6 +268,7 @@ def nfft_forward_sharded(
     cols_axis=None,
     batch_size=None,
     sigma=DEFAULT_SIGMA,
+    window=DEFAULT_WINDOW,
     strategy="auto",
     plans=None,
 ):
@@ -285,11 +292,12 @@ def nfft_forward_sharded(
 
     def local(xc, pos, batch, plans):
         plan = None if plans is None else squeeze_plan(plans)
-        xw = apply_phi_hat_inv(xc, dim, N, m, sigma, spatial_axis0=1)
+        xw = apply_phi_hat_inv(xc, dim, N, m, sigma, spatial_axis0=1, window=window)
         g_hat = centered_embed(xw, dim, N, M, spatial_axis0=1)
         g = jnp.fft.fftn(g_hat, axes=tuple(range(1, dim + 1)))
         g_flat = g.reshape(batch_size * M**dim, C)
-        y = gather(g_flat, pos, batch, batch_size, N, m, sigma, strategy, plan=plan)
+        y = gather(g_flat, pos, batch, batch_size, N, m, sigma, strategy, plan=plan,
+                   window=window)
         return y.real if real_output else y
 
     cspec = (cols_axis,)
@@ -324,6 +332,7 @@ def nfft_fastsum_sharded(
     cols_axis=None,
     batch_size=None,
     sigma=DEFAULT_SIGMA,
+    window=DEFAULT_WINDOW,
     strategy="auto",
     source_plans=None,
     target_plans=None,
@@ -373,6 +382,7 @@ def nfft_fastsum_sharded(
             N=N,
             m=m,
             sigma=sigma,
+            window=window,
             strategy=strategy,
             points_axis=points_axis,
             cdtype=cdtype,
@@ -420,7 +430,7 @@ def _axis_contract_local(x, mat, ax):
 
 
 def spectral_adjoint_pruned_dft_sharded(
-    gr, gi, dim, N, m, sigma, axis_name, M, cells=None
+    gr, gi, dim, N, m, sigma, axis_name, M, cells=None, window=DEFAULT_WINDOW
 ):
     """Adjoint spectral stage on a grid slab, inside a shard_map.
 
@@ -448,7 +458,7 @@ def spectral_adjoint_pruned_dft_sharded(
 
     def mats_for(d):
         off, L = spec[d]
-        cr, ci = _pruned_mats_np(N, M, m, float(sigma), +1, off, L)
+        cr, ci = _pruned_mats_np(N, M, m, float(sigma), +1, off, L, window)
         return jnp.asarray(cr), jnp.asarray(ci)
 
     # local axes first: M0 (last axis) then M2.. shrink to N
@@ -489,7 +499,8 @@ def spectral_adjoint_pruned_dft_sharded(
 
 
 def spectral_forward_pruned_dft_sharded(
-    xr, xi, dim, M, m, sigma, axis_name, n_shards, cells=None
+    xr, xi, dim, M, m, sigma, axis_name, n_shards, cells=None,
+    window=DEFAULT_WINDOW
 ):
     """Forward spectral stage producing a grid slab, inside a shard_map.
 
@@ -513,7 +524,7 @@ def spectral_forward_pruned_dft_sharded(
 
     def mats_for(d, sign=-1):
         off, L = spec[d]
-        cr, ci = _pruned_mats_np(N, M, m, float(sigma), sign, off, L)
+        cr, ci = _pruned_mats_np(N, M, m, float(sigma), sign, off, L, window)
         return (
             jnp.asarray(np.ascontiguousarray(cr.T)),
             jnp.asarray(np.ascontiguousarray(ci.T)),

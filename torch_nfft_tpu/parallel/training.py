@@ -43,6 +43,7 @@ def make_fastsum_train_step(
     points_axis="points",
     sigma=DEFAULT_SIGMA,
     strategy="auto",
+    window="gaussian",
 ):
     """Build ``step(w, pos, y[, opt_state]) -> (w_new, loss[, opt_state])``
     jitted over ``mesh``.
@@ -93,6 +94,7 @@ def make_fastsum_train_step(
                 N=N,
                 m=m,
                 sigma=sigma,
+                window=window,
                 strategy=strategy,
                 points_axis=points_axis,
             )
