@@ -205,3 +205,27 @@ def test_es_streamed_and_sharded(rng):
         window="es",
     )
     assert _rel(np.asarray(y_sh), o) < 3e-5
+
+
+def test_es_operator_layer(rng):
+    """GaussianKernel/GramMatrix honor window=: es at m=2 reproduces the
+    gaussian m=4 operator (both approximate the same kernel), the CG solve
+    runs in slot layout with complex interpolated coeffs coerced real, and
+    the window survives pytree round-trips."""
+    pos = ((rng.random((80, 2)) * 2 - 1) * 3.0).astype(np.float32)
+    kg = tn.GaussianKernel(1.0, dim=2, bandwidth=16, cutoff=4)
+    ke = tn.GaussianKernel(1.0, dim=2, bandwidth=16, cutoff=2, window="es")
+    Ag = np.asarray(kg(pos).to_dense())
+    Ae = np.asarray(ke(pos).to_dense())
+    assert np.abs(Ag - Ae).max() < 5e-5
+
+    G = ke(pos)
+    b = rng.standard_normal(80).astype(np.float32)
+    z = np.asarray(G.solve(b, reg=1e-1))
+    resid = np.asarray(G @ z) + 1e-1 * z - b
+    assert np.linalg.norm(resid) / np.linalg.norm(b) < 1e-4
+
+    k2 = jax.tree.map(lambda a: a, ke)
+    assert k2.window == "es"
+    G2 = jax.tree.map(lambda a: a, G)
+    assert G2.window == "es"

@@ -56,6 +56,7 @@ class GaussianKernel:
         reg_degree=-1,
         reg_width=0.0,
         *,
+        window="gaussian",
         _coeffs=None,
     ):
         self.sigma = sigma
@@ -67,6 +68,7 @@ class GaussianKernel:
         self.reg_degree = reg_degree
         self.reg_width = reg_width
         self.scale_by_norm = None
+        self.window = str(window)
         self.factor = 0.25 - 0.5 * reg_width
 
         if reg_degree < 0:
@@ -142,6 +144,7 @@ class GaussianKernel:
             target_batch,
             cutoff=self.cutoff,
             batch_size=batch_size,
+            window=self.window,
             _symmetric=symmetric or None,
         )
 
@@ -182,6 +185,7 @@ class GaussianKernel:
             self.reg_width,
             self.scale_by_norm,
             self.factor,
+            self.window,
         )
         return children, aux
 
@@ -200,6 +204,7 @@ class GaussianKernel:
             obj.reg_width,
             obj.scale_by_norm,
             obj.factor,
+            obj.window,
         ) = aux
         obj.coeffs = coeffs
         return obj

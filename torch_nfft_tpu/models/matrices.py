@@ -87,6 +87,7 @@ class GramMatrix(AbstractMatrix):
         cutoff=3,
         *,
         batch_size=None,
+        window="gaussian",
         _symmetric=None,
     ):
         self._symmetric = (
@@ -110,6 +111,7 @@ class GramMatrix(AbstractMatrix):
         self.target_batch = target_batch
         self.cutoff = int(cutoff)
         self.batch_size = batch_size
+        self.window = str(window)
         self._plan_cache = None
 
     # Matvecs reuse the same point sets, so the binned spread/gather plan
@@ -138,7 +140,8 @@ class GramMatrix(AbstractMatrix):
                 from ..ops.binned import build_plan
 
                 N = self.coeffs.shape[0]
-                kw = dict(N=N, m=self.cutoff, batch_size=self.batch_size)
+                kw = dict(N=N, m=self.cutoff, batch_size=self.batch_size,
+                          window=self.window)
                 sp = build_plan(src, self.source_batch, **kw)
                 tp = (
                     sp
@@ -166,6 +169,7 @@ class GramMatrix(AbstractMatrix):
             batch_size=self.batch_size,
             source_plan=source_plan,
             target_plan=target_plan,
+            window=self.window,
         )
 
     # -- slot-layout (plan-native) API ---------------------------------------
@@ -207,9 +211,19 @@ class GramMatrix(AbstractMatrix):
         tb, _ = _normalize_batch(
             self.target_batch, self.targets.shape[0], self.batch_size
         )
+        # nfft_fastsum_real's contract is real even coefficients; the
+        # interpolated-coeffs generators return a complex array whose
+        # imaginary part is zero for radial kernels on complex-capable
+        # backends — take the real plane (same as the user-order path's
+        # trailing .real).
+        coeffs = (
+            self.coeffs.real
+            if jnp.issubdtype(self.coeffs.dtype, jnp.complexfloating)
+            else self.coeffs
+        )
         return nfft_fastsum_real(
             v,
-            self.coeffs,
+            coeffs,
             self.sources,
             self.targets,
             sb,
@@ -220,6 +234,7 @@ class GramMatrix(AbstractMatrix):
             N=N,
             m=self.cutoff,
             slot_io=True,
+            window=self.window,
         )
 
     def solve(self, b, *, reg=0.0, tol=1e-5, maxiter=100):
@@ -277,6 +292,7 @@ class GramMatrix(AbstractMatrix):
             self.source_batch,
             cutoff=self.cutoff,
             batch_size=self.batch_size,
+            window=self.window,
         )
 
     # -- pytree protocol ----------------------------------------------------
@@ -288,13 +304,13 @@ class GramMatrix(AbstractMatrix):
             self.source_batch,
             self.target_batch,
         )
-        aux = (self.cutoff, self.batch_size, self._symmetric)
+        aux = (self.cutoff, self.batch_size, self._symmetric, self.window)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         coeffs, sources, targets, source_batch, target_batch = children
-        cutoff, batch_size, symmetric = aux
+        cutoff, batch_size, symmetric, window = aux
         return cls(
             coeffs,
             sources,
@@ -303,6 +319,7 @@ class GramMatrix(AbstractMatrix):
             target_batch,
             cutoff=cutoff,
             batch_size=batch_size,
+            window=window,
             _symmetric=symmetric,
         )
 

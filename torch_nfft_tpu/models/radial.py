@@ -127,6 +127,7 @@ class RadialKernel:
         reg_degree=-1,
         reg_width=0.0,
         *,
+        window="gaussian",
         _coeffs=None,
     ):
         self.profile = profile
@@ -137,6 +138,7 @@ class RadialKernel:
         self.reg_degree = reg_degree
         self.reg_width = reg_width
         self.scale_by_norm = None
+        self.window = str(window)
         self.factor = 0.25 - 0.5 * reg_width
 
         # Norm-mode selection mirrors GaussianKernel / reference kernel.py:
@@ -251,6 +253,7 @@ class RadialKernel:
             target_batch,
             cutoff=self.cutoff,
             batch_size=batch_size,
+            window=self.window,
             _symmetric=symmetric or None,
         )
 
@@ -290,6 +293,7 @@ class RadialKernel:
             self.reg_width,
             self.scale_by_norm,
             self.factor,
+            self.window,
         )
         return children, aux
 
@@ -307,6 +311,7 @@ class RadialKernel:
             obj.reg_width,
             obj.scale_by_norm,
             obj.factor,
+            obj.window,
         ) = aux
         obj.coeffs = coeffs
         return obj

@@ -450,7 +450,7 @@ class GaussianKernel(_KernelFrontend):
     def __init__(self, sigma, dim=3, bandwidth=16, cutoff=3,
                  shift_by_center=True, max_euclidean_norm=None,
                  max_infinity_norm=None, analytic=False, reg_degree=-1,
-                 reg_width=0.0):
+                 reg_width=0.0, window="gaussian"):
         from .models.kernel import GaussianKernel as _JaxKernel
 
         self._adopt(_JaxKernel(
@@ -458,7 +458,7 @@ class GaussianKernel(_KernelFrontend):
             shift_by_center=shift_by_center,
             max_euclidean_norm=max_euclidean_norm,
             max_infinity_norm=max_infinity_norm, analytic=analytic,
-            reg_degree=reg_degree, reg_width=reg_width,
+            reg_degree=reg_degree, reg_width=reg_width, window=window,
         ))
 
 
