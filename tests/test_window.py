@@ -229,3 +229,26 @@ def test_es_operator_layer(rng):
     assert k2.window == "es"
     G2 = jax.tree.map(lambda a: a, G)
     assert G2.window == "es"
+
+
+def test_suggest_window_parameters(rng):
+    """The suggested configuration actually reaches the requested accuracy
+    (measured against the dense oracle), and is monotone in tol."""
+    n, dim, N = 1200, 2, 32
+    pos = _safe_points(rng, n, dim)
+    x = rng.standard_normal((n, 2)).astype(np.float32)
+    yr = np.asarray(tn.ndft_adjoint(x, pos, N=N))
+    ms = []
+    for tol in (1e-3, 1e-4, 1e-5):
+        p = tn.suggest_window_parameters(tol)
+        ms.append(p["m"])
+        err = _rel(
+            tn.nfft_adjoint(x, pos, bandwidth=N, cutoff=p["m"],
+                            sigma=p["sigma"], window=p["window"],
+                            strategy="scatter"),
+            yr,
+        )
+        assert err <= tol, (tol, p, err)
+    assert ms == sorted(ms)
+    # sub-f32 tolerances clamp rather than explode m
+    assert tn.suggest_window_parameters(1e-12)["m"] <= 8

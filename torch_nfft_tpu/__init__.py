@@ -40,6 +40,7 @@ from .ops.binned import (
     from_slot_order,
     to_slot_order,
 )
+from .ops.window import suggest_window_parameters
 from .ops.nfft import (
     clear_plan_cache,
     nfft_adjoint,
@@ -75,6 +76,7 @@ __all__ = [
     "nfft_forward",
     "nfft_adjoint",
     "set_complex_override",
+    "suggest_window_parameters",
     "nfft_fastsum",
     "BinnedPlan",
     "build_plan",

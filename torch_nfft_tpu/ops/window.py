@@ -60,6 +60,7 @@ __all__ = [
     "window_value_fn",
     "window_value_and_deriv_fn",
     "phi_hat_inv_np",
+    "suggest_window_parameters",
     "compute_shifts",
     "compute_psi",
     "compute_psi_and_dpsi",
@@ -301,3 +302,24 @@ def window_index_offsets(dim: int, m: int) -> jnp.ndarray:
     L = 2 * m + 2
     grids = jnp.meshgrid(*([jnp.arange(L, dtype=jnp.int32)] * dim), indexing="ij")
     return jnp.stack(grids, axis=-1).reshape(-1, dim)
+
+
+def suggest_window_parameters(tol: float, sigma: float = DEFAULT_SIGMA) -> dict:
+    """Smallest-cost window configuration reaching ``tol`` relative L2 error.
+
+    Chooses the es window (best accuracy per support width) and the smallest
+    cutoff m whose conservative error model exp(-0.72 * beta(m, sigma)) meets
+    ``tol``. The 0.72 rate lower-bounds the measured decay over m=1..3 at
+    sigma=2 (dense-oracle rel-L2 1.1e-3 / 1.1e-5 / 8e-7, i.e. effective
+    rates 0.74 / 0.85 / floor-limited), so the suggestion is conservative
+    inside float32's reach. ``tol`` below ~2e-6 is clamped: single-precision
+    arithmetic floors the reachable error near 1e-6.
+
+    Returns ``{"window": "es", "m": m, "sigma": sigma}`` — splat into any
+    transform: ``nfft_adjoint(x, pos, cutoff=p["m"], window=p["window"])``.
+    """
+    tol = max(float(tol), 2e-6)
+    for m in range(1, 9):
+        if math.exp(-0.72 * es_beta(m, sigma)) <= tol:
+            return {"window": "es", "m": m, "sigma": sigma}
+    return {"window": "es", "m": 8, "sigma": sigma}
