@@ -5,6 +5,7 @@ The reference allocates batch*cols*(2N)^3 complex in one go
 (core_cuda.cu:216) = 16 GiB here; this runs the grid-streamed pipeline
 (ops/streaming.py): one (active-slab) grid buffer reused across members.
 Usage: python examples/bench_batched.py [n_total_log2]
+Env: BENCH_WINDOW (gaussian|es), BENCH_CUTOFF, BATCH_GROUP, BATCH_COLS.
 """
 
 import os
@@ -50,7 +51,10 @@ def _run_pairs(pair, label, n):
 def main():
     logn = int(sys.argv[1]) if len(sys.argv) > 1 else 21
     mode = sys.argv[2] if len(sys.argv) > 2 else "global"
-    n, B, N, dim, m, C = 1 << logn, 16, 256, 3, 4, 2
+    n, B, N, dim, C = 1 << logn, 16, 256, 3, 2
+    window = os.environ.get("BENCH_WINDOW", "gaussian")
+    m = int(os.environ.get("BENCH_CUTOFF", 4))
+    print(f"window={window} m={m}", flush=True)
     rng = np.random.default_rng(7)
     pos = (rng.random((n, dim), dtype=np.float32) - 0.5) / 2.0
     batch = np.sort(rng.integers(0, B, n)).astype(np.int32)
@@ -59,7 +63,8 @@ def main():
 
     if mode == "stream":
         t0 = time.perf_counter()
-        layout = make_streamed_layout(pos, batch, batch_size=B, N=N, m=m)
+        layout = make_streamed_layout(pos, batch, batch_size=B, N=N, m=m,
+                                      window=window)
         print(f"layout+plans: {time.perf_counter()-t0:.1f}s "
               f"(n_max={layout.n_max})", flush=True)
 
@@ -86,7 +91,8 @@ def main():
     for g0 in range(0, B, Gm):
         sel = (batch >= g0) & (batch < g0 + Gm)
         pos_g, batch_g, x_g = pos[sel], batch[sel] - g0, x[sel]
-        plan_g = build_plan(pos_g, batch_g, N=N, m=m, batch_size=Gm, K=Kf)
+        plan_g = build_plan(pos_g, batch_g, N=N, m=m, batch_size=Gm, K=Kf,
+                            window=window)
         groups.append((jnp.asarray(pos_g), jnp.asarray(batch_g),
                        jnp.asarray(x_g), plan_g))
     print(f"plans: {time.perf_counter()-t0:.1f}s groups={len(groups)} "
@@ -105,11 +111,11 @@ def main():
             for c in range(0, C, Cc):
                 yr, yi = nfft_adjoint_planar(
                     xj[:, c : c + Cc], posj, batchj, plan, batch_size=Gm,
-                    N=N, m=m,
+                    N=N, m=m, window=window,
                 )
                 zr, _ = nfft_forward_planar(
                     yr, yi, posj, batchj, plan, batch_size=Gm, dim=dim, m=m,
-                    real_output=True,
+                    real_output=True, window=window,
                 )
                 acc += float(jnp.sum(zr))
         return acc

@@ -27,6 +27,7 @@ def accuracy_check(
     columns=2,
     seed=0,
     sigma=2.0,
+    window="gaussian",
 ):
     """Relative L2 error of the adjoint NFFT vs the dense NDFT on a random
     subsample of ``pos`` (single batch). Returns a float; ~1e-4 at m=4 (f32).
@@ -42,7 +43,8 @@ def accuracy_check(
     sub = pos[idx].astype(np.float32)
     x = rng.standard_normal((take, columns)).astype(np.float32)
 
-    approx = nfft_adjoint(x, sub, bandwidth=bandwidth, cutoff=cutoff, sigma=sigma)
+    approx = nfft_adjoint(x, sub, bandwidth=bandwidth, cutoff=cutoff,
+                          sigma=sigma, window=window)
     exact = ndft_adjoint(x, sub, N=bandwidth)
     num = float(jnp.linalg.norm(approx - exact))
     den = float(jnp.linalg.norm(exact))
