@@ -252,3 +252,33 @@ def test_suggest_window_parameters(rng):
     assert ms == sorted(ms)
     # sub-f32 tolerances clamp rather than explode m
     assert tn.suggest_window_parameters(1e-12)["m"] <= 8
+
+
+def test_es_grid_sharded(rng):
+    """Grid-sharded adjoint with an es layout matches the es planar path
+    on the 8-virtual-device CPU mesh."""
+    from torch_nfft_tpu.parallel import (
+        build_grid_sharded_layout,
+        make_mesh,
+        nfft_adjoint_grid_sharded,
+    )
+
+    n, dim, N, m, T, C = 3000, 2, 64, 2, 16, 2
+    pos = _safe_points(rng, n, dim)
+    x = rng.standard_normal((n, C)).astype(np.float32)
+    mesh = make_mesh({"grid": -1})
+    P = mesh.devices.size
+
+    lay = build_grid_sharded_layout(pos, n_shards=P, N=N, m=m, T=T,
+                                    window="es")
+    yr, yi = nfft_adjoint_grid_sharded(x, lay, mesh)
+
+    rr, ri = tn.nfft_adjoint_planar(
+        jnp.asarray(x), jnp.asarray(pos), jnp.zeros((n,), jnp.int32),
+        batch_size=1, N=N, m=m, window="es",
+    )
+    np.testing.assert_allclose(np.asarray(yr), np.asarray(rr), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(yi), np.asarray(ri), rtol=2e-4, atol=2e-4)
+    # and the result is actually accurate vs the oracle
+    o = np.asarray(tn.ndft_adjoint(x, pos, N=N))
+    assert _rel(np.asarray(yr) + 1j * np.asarray(yi), o) < 3e-5
