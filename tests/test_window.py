@@ -282,3 +282,54 @@ def test_es_grid_sharded(rng):
     # and the result is actually accurate vs the oracle
     o = np.asarray(tn.ndft_adjoint(x, pos, N=N))
     assert _rel(np.asarray(yr) + 1j * np.asarray(yi), o) < 3e-5
+
+
+def test_es_fused_backward_matches_xla_vjp(rng, monkeypatch):
+    """The fused Pallas VJP (derivative-window kernel) evaluates the es
+    window derivative identically to differentiating the XLA engine."""
+    monkeypatch.setenv("TORCH_NFFT_TPU_KERNEL_PRECISION", "highest")
+    monkeypatch.setenv("TORCH_NFFT_TPU_FUSED_BWD", "1")
+    from torch_nfft_tpu.ops.binned import (
+        _gather_pallas_cv,
+        _gather_xla,
+        _spread_pallas_cv,
+        _spread_xla,
+        build_plan,
+    )
+
+    n, dim, N, m, B, C = 200, 3, 8, 2, 2, 2
+    pos = (rng.random((n, dim), dtype=np.float32) - 0.5) / 2.0
+    batch = np.sort(rng.integers(0, B, n)).astype(np.int32)
+    plan = build_plan(pos, batch, N=N, m=m, batch_size=B, K=128, window="es")
+    x = jnp.asarray(rng.standard_normal((n, C)).astype(np.float32))
+    M = 2 * N
+    g = jnp.asarray(rng.standard_normal((B * M**dim, C)).astype(np.float32))
+    p = jnp.asarray(pos)
+
+    def check(got, ref):
+        for a, b in zip(got, ref):
+            sc = max(1e-6, float(jnp.abs(b).max()))
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-5 * sc
+            )
+
+    check(
+        jax.grad(
+            lambda a, b: jnp.vdot(_spread_pallas_cv(B, plan, a, b), g),
+            argnums=(0, 1),
+        )(x, p),
+        jax.grad(
+            lambda a, b: jnp.vdot(_spread_xla(plan, a, b, B), g),
+            argnums=(0, 1),
+        )(x, p),
+    )
+    check(
+        jax.grad(
+            lambda a, b: jnp.vdot(_gather_pallas_cv(plan, a, b), x),
+            argnums=(0, 1),
+        )(g, p),
+        jax.grad(
+            lambda a, b: jnp.vdot(_gather_xla(plan, a, b), x),
+            argnums=(0, 1),
+        )(g, p),
+    )

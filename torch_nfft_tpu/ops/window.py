@@ -139,8 +139,12 @@ def window_value_fn(m: int, sigma: float = DEFAULT_SIGMA, window: str = DEFAULT_
 
     def phi(t):
         s2 = 1.0 - (t * t) * inv_w2
-        s = jnp.sqrt(jnp.maximum(s2, 0.0))
-        return jnp.where(s2 > 0.0, jnp.exp(beta * (s - 1.0)), 0.0)
+        inside = s2 > 0.0
+        # double-where: sqrt never sees a non-positive argument, so reverse-
+        # mode AD through the out-of-support branch stays NaN-free (the
+        # classic where/sqrt(0) trap).
+        s = jnp.sqrt(jnp.where(inside, s2, 1.0))
+        return jnp.where(inside, jnp.exp(beta * (s - 1.0)), 0.0)
 
     return phi
 
@@ -171,8 +175,8 @@ def window_value_and_deriv_fn(
 
     def phi_pair(t):
         s2 = 1.0 - (t * t) * inv_w2
-        s = jnp.sqrt(jnp.maximum(s2, 0.0))
         inside = s2 > 0.0
+        s = jnp.sqrt(jnp.where(inside, s2, 1.0))  # double-where (see phi)
         vals = jnp.where(inside, jnp.exp(beta * (s - 1.0)), 0.0)
         dvals = (-beta * M * inv_w2) * t / jnp.maximum(s, 1e-6) * vals
         return vals, dvals
