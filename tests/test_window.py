@@ -333,3 +333,15 @@ def test_es_fused_backward_matches_xla_vjp(rng, monkeypatch):
             argnums=(0, 1),
         )(g, p),
     )
+
+
+@pytest.mark.parametrize("dim,N", [(1, 64), (3, 16)])
+def test_es_other_dims(rng, dim, N):
+    """es parity in 1D (four-step planar territory) and 3D."""
+    n, m = 900, 2
+    pos = _safe_points(rng, n, dim)
+    x = rng.standard_normal((n, 2)).astype(np.float32)
+    y = tn.nfft_adjoint(x, pos, bandwidth=N, cutoff=m, window="es",
+                        strategy="binned")
+    yr = tn.ndft_adjoint(x, pos, N=N)
+    assert _rel(y, yr) < 5e-5
