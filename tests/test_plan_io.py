@@ -1,0 +1,101 @@
+"""Plan persistence: save_plan/load_plan round-trips (ops/plan_io.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import torch_nfft_tpu as tn
+from torch_nfft_tpu.ops.binned import build_plan
+from torch_nfft_tpu.ops.plan_io import _ARRAY_FIELDS, load_plan, save_plan
+
+
+def _plan_and_points(rng, window="gaussian"):
+    n, dim, N, m, B = 96, 2, 16, 3, 2
+    pos = (rng.random((n, dim)) - 0.5).astype(np.float32)
+    pos /= 4 * np.abs(pos).max()
+    batch = np.repeat(np.arange(B, dtype=np.int32), n // B)
+    plan = build_plan(pos, batch, N=N, m=m, batch_size=B, window=window)
+    return plan, pos, batch, N, m, B
+
+
+@pytest.mark.parametrize("window", ["gaussian", "es"])
+def test_round_trip_preserves_everything(rng, tmp_path, window):
+    plan, _, _, _, _, _ = _plan_and_points(rng, window=window)
+    path = tmp_path / "plan.npz"
+    save_plan(path, plan)
+    loaded = load_plan(path)
+
+    for name in _ARRAY_FIELDS:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(loaded, name)), np.asarray(getattr(plan, name))
+        )
+    for name in (
+        "n", "dim", "N", "m", "sigma", "T", "K", "batch_size", "pos_fp",
+        "window", "active",
+    ):
+        assert getattr(loaded, name) == getattr(plan, name), name
+    # host-side layout arrays survive when present
+    if plan.order is not None:
+        np.testing.assert_array_equal(loaded.order, plan.order)
+        np.testing.assert_array_equal(loaded.row_start, plan.row_start)
+
+
+def test_loaded_plan_runs_transforms(rng, tmp_path):
+    plan, pos, batch, N, m, B = _plan_and_points(rng)
+    path = tmp_path / "plan.npz"
+    save_plan(path, plan)
+    loaded = load_plan(path)
+
+    x = jnp.asarray(rng.standard_normal((pos.shape[0], 2)).astype(np.float32))
+    want = tn.nfft_adjoint(
+        x, jnp.asarray(pos), jnp.asarray(batch), batch_size=B,
+        bandwidth=N, cutoff=m, plan=plan,
+    )
+    got = tn.nfft_adjoint(
+        x, jnp.asarray(pos), jnp.asarray(batch), batch_size=B,
+        bandwidth=N, cutoff=m, plan=loaded,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_loaded_plan_keeps_mismatch_detection(rng, tmp_path):
+    """The saved pos_fp fingerprint still catches a foreign point set."""
+    plan, pos, batch, N, m, B = _plan_and_points(rng)
+    path = tmp_path / "plan.npz"
+    save_plan(path, plan)
+    loaded = load_plan(path)
+    assert loaded.pos_fp == plan.pos_fp
+
+    other = np.roll(pos, 1, axis=0) * 0.9  # bins differently
+    x = jnp.asarray(rng.standard_normal((pos.shape[0], 1)).astype(np.float32))
+    # the fingerprint check runs when positions are host-side NumPy
+    with pytest.raises(ValueError, match="plan"):
+        tn.nfft_adjoint(
+            x, other, np.asarray(batch), batch_size=B,
+            bandwidth=N, cutoff=m, plan=loaded,
+        )
+
+
+def test_rejects_wrong_files(tmp_path):
+    bogus = tmp_path / "bogus.npz"
+    np.savez(bogus, a=np.arange(3))
+    with pytest.raises(ValueError, match="not a torch_nfft_tpu plan"):
+        load_plan(bogus)
+
+
+def test_rejects_future_format(rng, tmp_path):
+    import json
+
+    plan, _, _, _, _, _ = _plan_and_points(rng)
+    path = tmp_path / "plan.npz"
+    save_plan(path, plan)
+    with np.load(path) as data:
+        arrays = {k: data[k] for k in data.files}
+    meta = json.loads(bytes(arrays["__meta__"].tobytes()).decode("utf-8"))
+    meta["format_version"] = 999
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode("utf-8"), dtype=np.uint8
+    )
+    np.savez(path, **arrays)
+    with pytest.raises(ValueError, match="format version"):
+        load_plan(path)

@@ -40,6 +40,7 @@ from .ops.binned import (
     from_slot_order,
     to_slot_order,
 )
+from .ops.plan_io import load_plan, save_plan
 from .ops.window import suggest_window_parameters
 from .ops.nfft import (
     clear_plan_cache,
@@ -83,6 +84,8 @@ __all__ = [
     "build_plan_device",
     "to_slot_order",
     "from_slot_order",
+    "save_plan",
+    "load_plan",
     "clear_plan_cache",
     "nfft_adjoint_planar",
     "nfft_forward_planar",
