@@ -553,3 +553,51 @@ def test_train_step_planar_matches_complex(mesh2d, rng):
 
     assert abs(loss_p - loss_c) < 1e-5 * max(1.0, abs(loss_c))
     np.testing.assert_allclose(w_p, w_c, rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_plan_window_mismatch_fails_loudly(mesh, rng):
+    """A plan whose window geometry disagrees with the transform's would
+    spread with one window and deconvolve with the other — before round 3's
+    fix this silently produced rel-L2 ~0.7 garbage; now every sharded entry
+    point validates the stacked plans' geometry up front."""
+    from torch_nfft_tpu.parallel import build_sharded_plans
+    from torch_nfft_tpu.parallel.sharded import fastsum_local
+
+    n_dev = mesh.shape["points"]
+    n, N, m, B, C, dim = 16 * n_dev, 8, 2, 1, 1, 2
+    pos, batch = _points(rng, n, dim, B)
+    x = rng.standard_normal((n, C)).astype(np.float32)
+    plans = build_sharded_plans(pos, batch, n_shards=n_dev, N=N, m=m,
+                                batch_size=B)  # default gaussian window
+
+    with pytest.raises(ValueError, match="window"):
+        nfft_adjoint_sharded(
+            x, pos, batch, bandwidth=N, cutoff=m, mesh=mesh, batch_size=B,
+            plans=plans, window="es",
+        )
+    xs = (rng.standard_normal((B,) + (N,) * dim + (C,))).astype(np.complex64)
+    with pytest.raises(ValueError, match="window"):
+        nfft_forward_sharded(
+            xs, pos, batch, cutoff=m, mesh=mesh, batch_size=B,
+            plans=plans, window="es",
+        )
+    coeffs = tn.gaussian_analytic_coeffs(0.3, dim=dim, N=N)
+    with pytest.raises(ValueError, match="window"):
+        nfft_fastsum_sharded(
+            x, coeffs, pos, batch=batch, cutoff=m, mesh=mesh, batch_size=B,
+            source_plans=plans, target_plans=plans, window="es",
+        )
+    # the standalone per-shard body checks too (what shard_map bodies call)
+    sp = tn.build_plan(pos, batch, N=N, m=m, batch_size=B)
+    with pytest.raises(ValueError, match="window"):
+        fastsum_local(
+            jnp.asarray(x), jnp.asarray(pos), jnp.asarray(batch),
+            jnp.asarray(pos), jnp.asarray(batch), coeffs,
+            batch_size=B, N=N, m=m, window="es", source_plan=sp,
+        )
+    # a sigma mismatch is caught by the same check
+    with pytest.raises(ValueError, match="sigma"):
+        nfft_adjoint_sharded(
+            x, pos, batch, bandwidth=N, cutoff=m, mesh=mesh, batch_size=B,
+            plans=plans, sigma=1.5,
+        )

@@ -99,3 +99,18 @@ def test_rejects_future_format(rng, tmp_path):
     np.savez(path, **arrays)
     with pytest.raises(ValueError, match="format version"):
         load_plan(path)
+
+
+def test_build_plan_rejects_unknown_window(rng):
+    """Typo'd window strings fail at the builder call site, not later at
+    transform time or deep inside jit tracing."""
+    plan_args = dict(N=16, m=3, batch_size=1)
+    pos = (rng.random((32, 2)) - 0.5).astype(np.float32) / 2
+    batch = np.zeros((32,), np.int32)
+    with pytest.raises(ValueError, match="unknown window"):
+        build_plan(pos, batch, window="Gaussian", **plan_args)
+    from torch_nfft_tpu.ops.binned import build_plan_device
+
+    with pytest.raises(ValueError, match="unknown window"):
+        build_plan_device(jnp.asarray(pos), jnp.asarray(batch),
+                          window="esx", **plan_args)

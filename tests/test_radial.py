@@ -162,3 +162,26 @@ def test_regularized_requires_width():
     with pytest.raises(ValueError, match="reg_width"):
         tn.LaplaceKernel(1.0, dim=2, bandwidth=16, reg_degree=2, reg_width=0.0,
                          max_euclidean_norm=1.0)
+
+
+def test_complex_coeffs_slot_path(rng):
+    """GramMatrix.apply_slot/solve with interpolated (complex-dtype) coeffs:
+    the slot-layout fastsum coerces them real before nfft_fastsum_real
+    (models/matrices.py _fastsum_slot), matching the user-order path."""
+    import jax.numpy as jnp
+
+    kernel = tn.MaternKernel(0.8, nu=1.5, dim=2, bandwidth=16, cutoff=3)
+    assert jnp.issubdtype(kernel.coeffs.dtype, jnp.complexfloating)
+
+    pos, _ = _points(rng, 70, 2)
+    G = kernel(pos)
+    v = rng.standard_normal(70).astype(np.float32)
+
+    want = np.asarray(G @ v)  # user-order path (trailing .real)
+    vs = G.to_slot(v)  # (1, S*K) slot vector
+    got = np.asarray(G.from_slot(G.apply_slot(vs)))[:, 0]
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    z = np.asarray(G.solve(v, reg=1e-1))
+    resid = np.asarray(G @ z) + 1e-1 * z - v
+    assert np.linalg.norm(resid) / np.linalg.norm(v) < 1e-4

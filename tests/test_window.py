@@ -249,9 +249,36 @@ def test_suggest_window_parameters(rng):
             yr,
         )
         assert err <= tol, (tol, p, err)
+        assert err <= p["predicted_rel_l2"], (p, err)  # the bound is honest
     assert ms == sorted(ms)
-    # sub-f32 tolerances clamp rather than explode m
-    assert tn.suggest_window_parameters(1e-12)["m"] <= 8
+    # sub-f32 tolerances warn and return the most accurate config
+    with pytest.warns(UserWarning, match="reachable"):
+        assert tn.suggest_window_parameters(1e-12)["m"] <= 8
+
+
+def test_suggest_window_parameters_low_sigma(rng):
+    """At sigma=1.25 the f32 deconvolution floor is ~5e-5; the chooser must
+    not promise tolerances below it (it used to suggest m=4 for tol=1e-5
+    where the measured error is ~4e-5), and what it does promise must be
+    met against the dense oracle."""
+    sigma = 1.25
+    # tol below the sigma-1.25 floor: warn instead of a false promise
+    with pytest.warns(UserWarning, match="raise sigma"):
+        tn.suggest_window_parameters(1e-5, sigma=sigma)
+
+    # a feasible tolerance is actually met at this sigma
+    n, dim, N = 1200, 2, 32
+    pos = _safe_points(rng, n, dim)
+    x = rng.standard_normal((n, 2)).astype(np.float32)
+    yr = np.asarray(tn.ndft_adjoint(x, pos, N=N))
+    tol = 1e-3
+    p = tn.suggest_window_parameters(tol, sigma=sigma)
+    err = _rel(
+        tn.nfft_adjoint(x, pos, bandwidth=N, cutoff=p["m"], sigma=p["sigma"],
+                        window=p["window"], strategy="scatter"),
+        yr,
+    )
+    assert err <= tol, (p, err)
 
 
 def test_es_grid_sharded(rng):

@@ -56,7 +56,7 @@ from .tilefold import (
     unfold_grid_to_tiles_dft,
     use_fold,
 )
-from .window import window_value_fn
+from .window import _check_window, window_value_fn
 
 __all__ = [
     "BinnedPlan",
@@ -257,6 +257,7 @@ def build_plan(
     every transform on the same point set (both spread and gather, forward
     and backward, every fastsum matvec).
     """
+    _check_window(window)
     # bin in float32 regardless of input dtype: the device window math runs
     # in f32 and a different floor() near cell boundaries would assign a
     # point to a tile whose halo misses its last window cell
@@ -488,6 +489,7 @@ def build_plan_device(
     builder remains the right choice for NumPy positions on well-attached
     hosts (its native counting sort is O(n) vs the device's O(n log n)).
     """
+    _check_window(window)
     pos = jnp.asarray(pos)
     if pos.dtype != jnp.float32:
         pos = pos.astype(jnp.float32)  # device binning must match execution

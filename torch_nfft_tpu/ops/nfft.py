@@ -42,8 +42,8 @@ from .spread_gather import gather, spread
 
 __all__ = ["nfft_adjoint", "nfft_forward", "nfft_fastsum"]
 
-DEFAULT_SIGMA = 2.0
-DEFAULT_WINDOW = "gaussian"
+# single source of truth for the window defaults: ops/window.py
+from .window import DEFAULT_SIGMA, DEFAULT_WINDOW  # noqa: E402
 
 
 def _complex_dtype_for(x):

@@ -44,8 +44,8 @@ __all__ = [
     "nfft_fastsum_streamed",
 ]
 
-DEFAULT_SIGMA = 2.0
-DEFAULT_WINDOW = "gaussian"
+# single source of truth for the window defaults: ops/window.py
+from .window import DEFAULT_SIGMA, DEFAULT_WINDOW  # noqa: E402
 
 
 class StreamedLayout:

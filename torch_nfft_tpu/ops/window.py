@@ -308,22 +308,59 @@ def window_index_offsets(dim: int, m: int) -> jnp.ndarray:
     return jnp.stack(grids, axis=-1).reshape(-1, dim)
 
 
+@functools.lru_cache(maxsize=None)
+def _es_error_model(m: int, sigma: float) -> float:
+    """Conservative rel-L2 error model for the es window at (m, sigma):
+    window truncation exp(-r(sigma) * beta) with the sigma-dependent rate
+    r = 0.92 * (1 - 1/(2 sigma)) (the measured effective decay rate falls
+    with oversampling: ~0.56-0.72 at sigma=1.25, ~0.74-0.84 at sigma=2),
+    plus a float32 floor proportional to the deconvolution's dynamic range
+    max(phi_hat_inv)/min(phi_hat_inv) (at low oversampling the rolloff
+    correction amplifies rounding noise — the dominant term below sigma
+    ~1.5, and the reason accuracy DEGRADES again for large m there:
+    sigma=1.25 m=5 measures 1.9e-4 where m=4 measures 3.4e-5). Both
+    constants upper-bound a 15-point dense-oracle sweep (sigma 1.25/1.5/2 x
+    m 1..5, 2D N=32): e.g. sigma=2 m=1/2/3 measured 1.1e-3/1.1e-5/8e-7
+    (model 1.8e-3/7.5e-5/5.9e-6), sigma=1.25 m=2/3/5 measured
+    1.0e-3/4.4e-5/1.9e-4 (model 2.3e-3/3.3e-4/2.4e-4)."""
+    rate = 0.92 * (1.0 - 1.0 / (2.0 * sigma))
+    trunc = math.exp(-rate * es_beta(m, sigma))
+    v = phi_hat_inv_np(64, m, float(sigma), "es")
+    amp = float(v.max() / v.min())
+    return trunc + 1e-6 * amp
+
+
 def suggest_window_parameters(tol: float, sigma: float = DEFAULT_SIGMA) -> dict:
     """Smallest-cost window configuration reaching ``tol`` relative L2 error.
 
     Chooses the es window (best accuracy per support width) and the smallest
-    cutoff m whose conservative error model exp(-0.72 * beta(m, sigma)) meets
-    ``tol``. The 0.72 rate lower-bounds the measured decay over m=1..3 at
-    sigma=2 (dense-oracle rel-L2 1.1e-3 / 1.1e-5 / 8e-7, i.e. effective
-    rates 0.74 / 0.85 / floor-limited), so the suggestion is conservative
-    inside float32's reach. ``tol`` below ~2e-6 is clamped: single-precision
-    arithmetic floors the reachable error near 1e-6.
+    cutoff m whose conservative error model meets ``tol`` (see
+    :func:`_es_error_model`: truncation decay plus a sigma-dependent float32
+    floor — at sigma=1.25 the reachable error floors near 5e-5, at sigma=2
+    near 1e-6). If no m reaches ``tol`` at this sigma, the most accurate
+    configuration is returned with a ``UserWarning`` naming the model's
+    reachable minimum.
 
-    Returns ``{"window": "es", "m": m, "sigma": sigma}`` — splat into any
-    transform: ``nfft_adjoint(x, pos, cutoff=p["m"], window=p["window"])``.
+    Returns ``{"window": "es", "m": m, "sigma": sigma, "predicted_rel_l2":
+    model_bound}`` — pass into any transform as
+    ``nfft_adjoint(x, pos, cutoff=p["m"], window=p["window"])``.
     """
-    tol = max(float(tol), 2e-6)
-    for m in range(1, 9):
-        if math.exp(-0.72 * es_beta(m, sigma)) <= tol:
-            return {"window": "es", "m": m, "sigma": sigma}
-    return {"window": "es", "m": 8, "sigma": sigma}
+    tol = float(tol)
+    errs = {m: _es_error_model(m, float(sigma)) for m in range(1, 9)}
+    feasible = [m for m, e in errs.items() if e <= tol]
+    if feasible:
+        m = min(feasible)
+        return {"window": "es", "m": m, "sigma": sigma,
+                "predicted_rel_l2": errs[m]}
+    best = min(errs, key=errs.get)
+    import warnings
+
+    warnings.warn(
+        f"tol={tol:g} is below the float32-reachable error at sigma={sigma} "
+        f"(error model minimum {errs[best]:.1e} at m={best}); returning the "
+        "most accurate configuration — raise sigma for tighter tolerances",
+        UserWarning,
+        stacklevel=2,
+    )
+    return {"window": "es", "m": best, "sigma": sigma,
+            "predicted_rel_l2": errs[best]}

@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from ..ops.nfft import DEFAULT_SIGMA, DEFAULT_WINDOW, _complex_dtype_for
+from ..ops.nfft import _complex_dtype_for
+from ..ops.window import DEFAULT_SIGMA, DEFAULT_WINDOW
 from ..ops.plan_stack import squeeze_plan
 from ..ops.spectral import (
     apply_phi_hat_inv,
@@ -49,6 +50,28 @@ __all__ = [
 ]
 
 shard_map = jax.shard_map
+
+
+def _check_plans_geometry(plans, N, m, sigma, window, what="plans"):
+    """Same contract as ``ops/nfft.py:_check_plan`` for the sharded entry
+    points: a plan whose window geometry disagrees with the transform's
+    would spread with one window and deconvolve with the other — silently
+    wrong — so fail loudly. Point-count/fingerprint checks don't apply here
+    (stacked plans carry per-shard n against a global pos)."""
+    if plans is None:
+        return
+    if (
+        (plans.N, plans.m) != (int(N), int(m))
+        or plans.sigma != float(sigma)
+        or plans.window != window
+    ):
+        raise ValueError(
+            f"{what} were built for (N={plans.N}, m={plans.m}, "
+            f"sigma={plans.sigma}, window={plans.window!r}) but the "
+            f"transform uses (N={int(N)}, m={int(m)}, sigma={float(sigma)}, "
+            f"window={window!r}) — rebuild with build_sharded_plans(..., "
+            "matching window/sigma) or pass the matching window= here"
+        )
 
 
 def build_sharded_plans(
@@ -129,6 +152,8 @@ def fastsum_local(
     ``points_axis``) or standalone single-device (``points_axis=None``).
     Shapes: xf (n_src, C), sources/targets (n, dim), returns (n_tgt, C).
     """
+    _check_plans_geometry(source_plan, N, m, sigma, window, what="source_plan")
+    _check_plans_geometry(target_plan, N, m, sigma, window, what="target_plan")
     n_src, dim = sources.shape
     M = int(round(sigma * N))
     C = xf.shape[1]
@@ -211,6 +236,7 @@ def nfft_adjoint_sharded(
     engine per shard instead of XLA scatter.
     """
     N, m = int(bandwidth), int(cutoff)
+    _check_plans_geometry(plans, N, m, sigma, window)
     x = jnp.asarray(x)
     pos = jnp.asarray(pos)
     n, dim = pos.shape
@@ -281,6 +307,7 @@ def nfft_forward_sharded(
     pos = jnp.asarray(pos)
     n, dim = pos.shape
     N = x.shape[1]
+    _check_plans_geometry(plans, N, m, sigma, window)
     M = int(round(sigma * N))
     if batch is None:
         batch = jnp.zeros((n,), jnp.int32)
@@ -364,6 +391,8 @@ def nfft_fastsum_sharded(
     if batch_size is None:
         batch_size = int(source_batch[-1]) + 1
     N = coeffs.shape[0]
+    _check_plans_geometry(source_plans, N, m, sigma, window, what="source_plans")
+    _check_plans_geometry(target_plans, N, m, sigma, window, what="target_plans")
     M = int(round(sigma * N))
     trailing = x.shape[1:]
     C = math.prod(trailing) if trailing else 1
