@@ -188,6 +188,40 @@ def main():
             d_x.reshape(r, 128), d_perm_n[:128],
         )
 
+    if "clos" in groups:
+        p("-- clos: full 3-stage row/col/row chain (one jit) --")
+        # Any permutation of an (R, C) matrix factors as (within-row) o
+        # (within-column) o (within-row) — classic 3-stage Clos routing. The
+        # stage index tables here are random (the apply cost is identical to
+        # the routed decomposition; only construction differs), timed as one
+        # fused chain so XLA can overlap the stages.
+        for c in (128, 256, 1024):
+            r = n // c
+
+            @jax.jit
+            def make_stages(kk, rr=r, cc=c):
+                k1, k2, k3 = jax.random.split(kk, 3)
+                row1 = jnp.argsort(jax.random.uniform(k1, (rr, cc)), axis=1)
+                col = jnp.argsort(jax.random.uniform(k2, (rr, cc)), axis=0)
+                row2 = jnp.argsort(jax.random.uniform(k3, (rr, cc)), axis=1)
+                return (row1.astype(jnp.int32), col.astype(jnp.int32),
+                        row2.astype(jnp.int32))
+
+            st = jax.block_until_ready(make_stages(ks[6]))
+            x2 = d_x.reshape(r, c)
+
+            def chain(v, stages):
+                row1, col, row2 = stages
+                v = jnp.take_along_axis(v, row1, axis=1)
+                v = jnp.take_along_axis(v, col, axis=0)
+                return jnp.take_along_axis(v, row2, axis=1)
+
+            timed(
+                f"clos chain (r,{c})",
+                lambda v, s: loop(lambda w, ss: chain(w, ss))(v, s),
+                x2, st,
+            )
+
     if "onehot" in groups:
         p("-- onehot: within-row permutation on the MXU --")
         for c in (128, 256):
