@@ -94,7 +94,13 @@ class BinnedPlan:
     # major (precomputed so the hot path never gathers positions per call)
     origin: jax.Array  # (S, dim) int32 — tile origin cell per row
     row_batch: jax.Array  # (S,) int32
-    inv_slot: jax.Array  # (n,) int32 — flat slot id per point
+    fill_keys: jax.Array  # (S*K,) int32 — a permutation of [0, S*K): the
+    # destination slot of each element of [x in user order (n), padding
+    # zeros (S*K - n)]. fill_keys[:n] is the point->slot inverse map (the
+    # ``inv_slot`` property); the tail lists the invalid (padding) slots.
+    # Stored in this fused form because the hot permutations execute as
+    # lax.sort_key_val by destination (ops/pallas/contract._slot_values),
+    # ~1.6x faster than a unique-index scatter at 16M points on TPU.
     row_count: jax.Array  # (S,) int32 — points actually filling each row
     # static
     n: int
@@ -139,13 +145,18 @@ class BinnedPlan:
         k = jnp.arange(self.K, dtype=jnp.int32)[None, :]
         return (k < self.row_count[:, None]).astype(jnp.float32)
 
+    @property
+    def inv_slot(self) -> jax.Array:
+        """(n,) int32 — flat slot id per point (the head of fill_keys)."""
+        return self.fill_keys[..., : self.n]
+
     def tree_flatten(self):
         children = (
             self.slot_pt,
             self.slot_pos,
             self.origin,
             self.row_batch,
-            self.inv_slot,
+            self.fill_keys,
             self.row_count,
         )
         aux = (
@@ -317,12 +328,16 @@ def build_plan(
         # an extra dim*S*K*4B array through a (possibly slow) host link
         slot_pt_dev = jnp.asarray(slot_pt)
         slot_pos = jnp.take(jnp.asarray(pos), slot_pt_dev.reshape(-1), axis=0).T
+        flat_ids = np.arange(slot_pt.size, dtype=np.int32)
+        fill_keys = np.concatenate(
+            [inv_slot, flat_ids[slot_valid.reshape(-1) <= 0]]
+        )
         return BinnedPlan(
             slot_pt=slot_pt_dev,
             slot_pos=slot_pos,
             origin=jnp.asarray(origin),
             row_batch=jnp.asarray(row_batch),
-            inv_slot=jnp.asarray(inv_slot),
+            fill_keys=jnp.asarray(fill_keys),
             row_count=jnp.asarray(row_count),
             order=order,
             row_start=row_start,
@@ -387,6 +402,9 @@ def build_plan(
     flat_slots = (np.arange(S)[:, None] * K + k_ar).reshape(-1)
     valid_flat = slot_valid.reshape(-1) > 0
     inv_slot[slot_pt.reshape(-1)[valid_flat]] = flat_slots[valid_flat]
+    fill_keys = np.concatenate(
+        [inv_slot.astype(np.int32), flat_slots[~valid_flat].astype(np.int32)]
+    )
 
     slot_pt_dev = jnp.asarray(slot_pt)
     slot_pos = jnp.take(jnp.asarray(pos), slot_pt_dev.reshape(-1), axis=0).T
@@ -395,7 +413,7 @@ def build_plan(
         slot_pos=slot_pos,
         origin=jnp.asarray(origin),
         row_batch=jnp.asarray(row_batch),
-        inv_slot=jnp.asarray(inv_slot.astype(np.int32)),
+        fill_keys=jnp.asarray(fill_keys),
         row_count=jnp.asarray(row_count.astype(np.int32)),
         order=order.astype(np.int32),
         row_start=row_start.astype(np.int32),
@@ -440,9 +458,9 @@ def _sorted_bins_device(pos, batch, *, M, m, t, nb, nbins, dim):
 
 
 @partial(jax.jit, static_argnames=("K", "n"))
-def _assemble_plan_device(order, row_start, pos, *, K, n):
+def _assemble_plan_device(order, row_start, row_count, pos, *, K, n):
     """Device slot tables from the sorted order and host row layout:
-    slot_pt (S, K), slot_pos (dim, S*K), inv_slot (n,)."""
+    slot_pt (S, K), slot_pos (dim, S*K), fill_keys (S*K,)."""
     S = row_start.shape[0]
     k_ar = jnp.arange(K, dtype=jnp.int32)[None, :]
     gidx = jnp.minimum(row_start[:, None] + k_ar, n - 1)
@@ -458,7 +476,13 @@ def _assemble_plan_device(order, row_start, pos, *, K, n):
     inv_slot = (
         jnp.zeros((n,), jnp.int32).at[order].set(slot_flat, unique_indices=True)
     )
-    return slot_pt, slot_pos, inv_slot
+    # every point fills exactly one valid slot, so the invalid count is
+    # statically S*K - n; appending those ids makes fill_keys a permutation
+    invalid_ids = jnp.nonzero(
+        (k_ar >= row_count[:, None]).reshape(-1), size=S * K - n
+    )[0].astype(jnp.int32)
+    fill_keys = jnp.concatenate([inv_slot, invalid_ids])
+    return slot_pt, slot_pos, fill_keys
 
 
 def _pick_K_cap(mean_occ: float) -> int:
@@ -565,16 +589,17 @@ def _finish_plan_device(
         bid = bid // nb
     row_batch = bid.astype(np.int32)
 
-    slot_pt, slot_pos, inv_slot = _assemble_plan_device(
-        order, jnp.asarray(row_start), pos, K=int(K), n=n
+    row_count_dev = jnp.asarray(row_count)
+    slot_pt, slot_pos, fill_keys = _assemble_plan_device(
+        order, jnp.asarray(row_start), row_count_dev, pos, K=int(K), n=n
     )
     return BinnedPlan(
         slot_pt=slot_pt,
         slot_pos=slot_pos,
         origin=jnp.asarray(origin),
         row_batch=jnp.asarray(row_batch),
-        inv_slot=inv_slot,
-        row_count=jnp.asarray(row_count),
+        fill_keys=fill_keys,
+        row_count=row_count_dev,
         n=n,
         dim=dim,
         N=N,

@@ -27,7 +27,9 @@ from .binned import BinnedPlan
 
 __all__ = ["save_plan", "load_plan"]
 
-_FORMAT_VERSION = 1
+# v2: the (n,) inv_slot leaf became the (S*K,) fill_keys permutation (its
+# head is inv_slot; the tail lists the padding slots) — see BinnedPlan.
+_FORMAT_VERSION = 2
 
 # (field, required) — the pytree leaves of BinnedPlan in constructor order.
 _ARRAY_FIELDS = (
@@ -35,7 +37,7 @@ _ARRAY_FIELDS = (
     "slot_pos",
     "origin",
     "row_batch",
-    "inv_slot",
+    "fill_keys",
     "row_count",
 )
 _HOST_FIELDS = ("order", "row_start")
@@ -85,15 +87,28 @@ def load_plan(path) -> BinnedPlan:
         if "__meta__" not in data:
             raise ValueError(f"{path!r} is not a torch_nfft_tpu plan file")
         meta = json.loads(bytes(data["__meta__"].tobytes()).decode("utf-8"))
-        if meta.get("format_version") != _FORMAT_VERSION:
+        version = meta.get("format_version")
+        if version not in (1, _FORMAT_VERSION):
             raise ValueError(
                 "Unsupported plan format version "
-                f"{meta.get('format_version')!r} (expected {_FORMAT_VERSION}); "
+                f"{version!r} (expected {_FORMAT_VERSION}); "
                 "re-save the plan with this version of torch_nfft_tpu"
             )
-        leaves = {name: jnp.asarray(data[name]) for name in _ARRAY_FIELDS}
+        raw = {name: np.asarray(data[name])
+               for name in data.files if name != "__meta__"}
+        if version == 1:
+            # v1 stored inv_slot (n,); rebuild the full fill permutation by
+            # appending the padding-slot ids (k >= row_count[s]).
+            S, K = raw["slot_pt"].shape
+            k_ar = np.arange(K, dtype=np.int32)[None, :]
+            invalid = (k_ar >= raw["row_count"][:, None]).reshape(-1)
+            flat_ids = np.arange(S * K, dtype=np.int32)
+            raw["fill_keys"] = np.concatenate(
+                [raw.pop("inv_slot").astype(np.int32), flat_ids[invalid]]
+            )
+        leaves = {name: jnp.asarray(raw[name]) for name in _ARRAY_FIELDS}
         host = {
-            name: (np.asarray(data[name]) if name in data else None)
+            name: (raw[name] if name in raw else None)
             for name in _HOST_FIELDS
         }
     active = meta["active"]

@@ -48,7 +48,12 @@ def pad_plan_rows(plan: BinnedPlan, S_target: int) -> BinnedPlan:
         slot_pos=jnp.pad(plan.slot_pos, ((0, 0), (0, p * plan.K))),
         origin=jnp.pad(plan.origin, ((0, p), (0, 0))),
         row_batch=jnp.pad(plan.row_batch, (0, p)),
-        inv_slot=plan.inv_slot,
+        # the appended rows are all padding: their slot ids extend the
+        # invalid tail of the fill permutation
+        fill_keys=jnp.concatenate([
+            plan.fill_keys,
+            jnp.arange(S * plan.K, S_target * plan.K, dtype=jnp.int32),
+        ]),
         row_count=jnp.pad(plan.row_count, (0, p)),
         n=plan.n,
         dim=plan.dim,
@@ -88,7 +93,7 @@ def stack_plans(plans: list[BinnedPlan]) -> BinnedPlan:
         slot_pos=stack(lambda p: p.slot_pos),
         origin=stack(lambda p: p.origin),
         row_batch=stack(lambda p: p.row_batch),
-        inv_slot=stack(lambda p: p.inv_slot),
+        fill_keys=stack(lambda p: p.fill_keys),
         row_count=stack(lambda p: p.row_count),
         n=p0.n,
         dim=p0.dim,
