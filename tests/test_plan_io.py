@@ -114,3 +114,66 @@ def test_build_plan_rejects_unknown_window(rng):
     with pytest.raises(ValueError, match="unknown window"):
         build_plan_device(jnp.asarray(pos), jnp.asarray(batch),
                           window="esx", **plan_args)
+
+
+def test_loads_v1_format_rebuilding_fill_keys(rng, tmp_path):
+    """v1 files stored inv_slot (n,); loading must rebuild the full (S*K,)
+    fill permutation (head = inv_slot, tail = the padding slots)."""
+    import json
+
+    plan, pos, batch, N, m, B = _plan_and_points(rng)
+    path = tmp_path / "plan.npz"
+    save_plan(path, plan)
+    with np.load(path) as data:
+        arrays = {k: data[k] for k in data.files}
+    meta = json.loads(bytes(arrays["__meta__"].tobytes()).decode("utf-8"))
+    meta["format_version"] = 1
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode("utf-8"), dtype=np.uint8
+    )
+    arrays["inv_slot"] = arrays.pop("fill_keys")[: plan.n]
+    np.savez(path, **arrays)
+
+    loaded = load_plan(path)
+    np.testing.assert_array_equal(
+        np.asarray(loaded.fill_keys), np.asarray(plan.fill_keys)
+    )
+
+    x = jnp.asarray(rng.standard_normal((pos.shape[0], 2)).astype(np.float32))
+    want = tn.nfft_adjoint(
+        x, jnp.asarray(pos), jnp.asarray(batch), batch_size=B,
+        bandwidth=N, cutoff=m, plan=plan,
+    )
+    got = tn.nfft_adjoint(
+        x, jnp.asarray(pos), jnp.asarray(batch), batch_size=B,
+        bandwidth=N, cutoff=m, plan=loaded,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_fill_keys_is_a_permutation_on_every_builder(rng):
+    """fill_keys must be a permutation of [0, S*K) whose head is the
+    point->slot map — on the host, native and device builders alike."""
+    from torch_nfft_tpu.ops.binned import build_plan_device
+
+    n, dim, N, m = 160, 2, 16, 3
+    pos = (rng.random((n, dim)) - 0.5).astype(np.float32)
+    pos /= 4 * np.abs(pos).max()
+    batch = np.zeros((n,), np.int32)
+
+    for plan in (
+        build_plan(pos, batch, N=N, m=m, batch_size=1),
+        build_plan_device(jnp.asarray(pos), jnp.asarray(batch), N=N, m=m,
+                          batch_size=1),
+    ):
+        fk = np.asarray(plan.fill_keys)
+        S, K = plan.slot_pt.shape
+        assert fk.shape == (S * K,)
+        np.testing.assert_array_equal(np.sort(fk), np.arange(S * K))
+        # head routes points: slot_pt[fill_keys[i]] == i for valid slots
+        sp = np.asarray(plan.slot_pt).reshape(-1)
+        np.testing.assert_array_equal(sp[fk[:n]], np.arange(n))
+        # tail lists only invalid slots
+        rc = np.asarray(plan.row_count)
+        valid = (np.arange(K)[None, :] < rc[:, None]).reshape(-1)
+        assert not valid[fk[n:]].any()
