@@ -167,6 +167,8 @@ def main():
     window = os.environ.get("BENCH_WINDOW", "es")
     m = int(os.environ.get("BENCH_CUTOFF", 2 if window == "es" else 4))
     sigma = float(os.environ.get("BENCH_SIGMA", 2.0))
+    K_env = os.environ.get("BENCH_K")
+    K_plan = int(K_env) if K_env else None
 
     _log(f"config: n={n} N={N} dim={dim} m={m} strategy={strategy} "
          f"window={window} sigma={sigma}")
@@ -192,7 +194,7 @@ def main():
 
         t0 = time.perf_counter()
         plan = build_plan_device(pos, None, N=N, m=m, batch_size=1,
-                                 window=window)
+                                 window=window, K=K_plan)
         jax.block_until_ready(plan.inv_slot)
         float(jnp.sum(plan.row_count))
         t_plan = time.perf_counter() - t0

@@ -302,13 +302,12 @@ def build_plan(
     from ..native import plan_tables
 
     def _pick_K(counts):
-        occ = counts[counts > 0]
-        mean_occ = float(occ.mean()) if occ.size else 1.0
         # Large K keeps the windowed-tile count (and its per-window cost)
         # independent of n; the einsum chunker bounds the memory.
         # cap at the Pallas lane-chunk size: a K=2048 row runs two kernel
-        # chunks with worse VMEM pipelining than two K=1024 rows
-        return min(1024, max(8, _next_pow2(math.ceil(mean_occ))))
+        # chunks with worse VMEM pipelining than two K=1024 rows; halve
+        # when padding-slot savings pay for it (_choose_K).
+        return _choose_K(counts[counts > 0].astype(np.int64), n)
 
     native = plan_tables(
         pos,
@@ -369,9 +368,8 @@ def build_plan(
 
     if K is None:
         # Row capacity: near the mean occupancy, clamped to a MXU-friendly
-        # range. Rows per tile = ceil(count/K).
-        mean_occ = n / max(1, len(uniq))
-        K = int(min(1024, max(8, _next_pow2(math.ceil(mean_occ)))))
+        # range (padding-aware: _choose_K). Rows per tile = ceil(count/K).
+        K = _choose_K(counts.astype(np.int64), n)
 
     rows_per_bin = -(-counts // K)
     S = int(rows_per_bin.sum())
@@ -491,6 +489,32 @@ def _pick_K_cap(mean_occ: float) -> int:
     return int(min(1024, max(8, _next_pow2(math.ceil(mean_occ)))))
 
 
+# Pallas kernels prefetch ~5 (S,) int32 row tables into SMEM; beyond ~36k
+# rows the scoped SMEM allocation fails (measured: S=35k compiles, S=68k
+# does not on v5e).
+_MAX_ROWS_SMEM = 36000
+
+
+def _choose_K(cnt, n: int) -> int:
+    """Row capacity from the occupied-bin histogram ``cnt``.
+
+    Starts from the mean-occupancy power of two (capped at the lane chunk),
+    then considers halving to 512: ragged 3D tiles leave ~13% padding slots
+    at K=1024, and since the user<->slot permutations run as sorts over
+    S*K elements, padding is pure sort cost — measured 0.267 -> 0.253 s on
+    the 3D headline pair. Halve only when it saves >=3% of n in padding and
+    the row count stays inside the SMEM prefetch budget."""
+    mean_occ = float(cnt.mean()) if cnt.size else 1.0
+    K = _pick_K_cap(mean_occ)
+    if K == 1024:
+        s512 = int(np.sum(-(-cnt // 512)))
+        pad512 = s512 * 512 - n
+        pad1024 = int(np.sum(-(-cnt // 1024))) * 1024 - n
+        if pad1024 - pad512 >= 0.03 * n and s512 <= _MAX_ROWS_SMEM:
+            return 512
+    return K
+
+
 def build_plan_device(
     pos,
     batch=None,
@@ -570,8 +594,7 @@ def _finish_plan_device(
     uniq = np.flatnonzero(counts_np)
     cnt = counts_np[uniq].astype(np.int64)
     if K is None:
-        mean_occ = float(cnt.mean()) if cnt.size else 1.0
-        K = _pick_K_cap(mean_occ)
+        K = _choose_K(cnt, n)
     rows_per_bin = -(-cnt // K)
     S = int(rows_per_bin.sum())
     row_bin = np.repeat(np.arange(len(uniq)), rows_per_bin)
