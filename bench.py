@@ -199,6 +199,18 @@ def main():
         float(jnp.sum(plan.row_count))
         t_plan = time.perf_counter() - t0
         _log(f"plan built in {t_plan:.3f}s: rows={plan.slot_pt.shape[0]} K={plan.K} T={plan.T}")
+        # Routed Benes permutation masks: one-time host routing (the looping
+        # algorithm is sequential C++) + a packed-bit upload; each transform
+        # pair then saves ~120 ms of lax.sort permutations. BENCH_BENES=0
+        # keeps the sort path (plan build ~8 s instead).
+        if os.environ.get("BENCH_BENES", "1") != "0":
+            t0 = time.perf_counter()
+            plan = plan.with_benes_tables()
+            jax.block_until_ready(plan.benes.local_words)
+            t_benes = time.perf_counter() - t0
+            t_plan += t_benes
+            _log(f"benes permutation tables in {t_benes:.1f}s "
+                 f"(n={plan.benes.n}, host route + bit upload)")
 
     def pair(x, pos, batch, plan):
         yr, yi = nfft_adjoint_planar(

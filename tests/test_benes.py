@@ -1,0 +1,133 @@
+"""Benes permutation network: routing (looping algorithm), packed masks,
+forward/reverse device apply (ops/pallas/benes.py, csrc/benes_router.cpp).
+Interpret mode on CPU; TPU timing lives in examples/probe_benes.py."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from torch_nfft_tpu.ops.pallas.benes import (
+    apply_benes,
+    apply_benes_np,
+    expand_pair_bits,
+    pack_masks,
+    route_benes_np,
+    stage_distances,
+    unpack_pair_bits_np,
+)
+
+
+@pytest.mark.parametrize("q", [1, 2, 3, 5, 8, 11])
+def test_route_and_apply_np(q):
+    rng = np.random.default_rng(q)
+    n = 1 << q
+    perm = rng.permutation(n)
+    masks = route_benes_np(perm)
+    assert masks.shape == (max(2 * q - 1, 1), n)
+    # pair-consistency: mask[t][i] == mask[t][i ^ 2^d]
+    for t, d in enumerate(stage_distances(q)):
+        m2 = masks[t].reshape(-1, 2, 1 << d)
+        np.testing.assert_array_equal(m2[:, 0], m2[:, 1])
+    x = rng.standard_normal(n).astype(np.float32)
+    out = apply_benes_np(masks, x)
+    ref = np.empty_like(x)
+    ref[perm] = x
+    np.testing.assert_array_equal(out, ref)
+
+
+@pytest.mark.parametrize("mode", ["unrolled", "loop", "xla"])
+@pytest.mark.parametrize("q,b", [(9, 9), (11, 9), (12, 10), (13, 9)])
+def test_apply_benes_device_matches_permutation(q, b, mode):
+    rng = np.random.default_rng(q * 13 + b)
+    n = 1 << q
+    perm = rng.permutation(n)
+    cw, lw = pack_masks(route_benes_np(perm), q, b)
+    x = rng.standard_normal(n).astype(np.float32)
+    out = apply_benes(jnp.asarray(x), jnp.asarray(cw), jnp.asarray(lw),
+                      block_log2=b, interpret=True, mode=mode)
+    ref = np.empty_like(x)
+    ref[perm] = x
+    np.testing.assert_array_equal(np.asarray(out), ref)
+    # reverse applies the inverse permutation with the SAME masks
+    back = apply_benes(out, jnp.asarray(cw), jnp.asarray(lw),
+                       block_log2=b, reverse=True, interpret=True, mode=mode)
+    np.testing.assert_array_equal(np.asarray(back), x)
+
+
+def test_apply_benes_int32_payload():
+    rng = np.random.default_rng(3)
+    q, b = 10, 9
+    n = 1 << q
+    perm = rng.permutation(n)
+    cw, lw = pack_masks(route_benes_np(perm), q, b)
+    x = rng.integers(-(1 << 30), 1 << 30, n).astype(np.int32)
+    out = apply_benes(jnp.asarray(x), jnp.asarray(cw), jnp.asarray(lw),
+                      block_log2=b, interpret=True)
+    ref = np.empty_like(x)
+    ref[perm] = x
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_native_router_matches_numpy():
+    from torch_nfft_tpu.native import benes_route, native_available
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(5)
+    for q in (6, 9, 12):
+        n = 1 << q
+        perm = rng.permutation(n).astype(np.int32)
+        bits = benes_route(perm)
+        masks = unpack_pair_bits_np(bits, q)
+        np.testing.assert_array_equal(masks, route_benes_np(perm))
+
+
+def test_expand_pair_bits_matches_host_packing():
+    from torch_nfft_tpu.native import benes_route, native_available
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    q, b = 12, 9
+    n = 1 << q
+    perm = np.random.default_rng(8).permutation(n).astype(np.int32)
+    bits = benes_route(perm)
+    cw_host, lw_host = pack_masks(unpack_pair_bits_np(bits, q), q, b)
+    cw_dev, lw_dev = expand_pair_bits(jnp.asarray(bits.view(np.int32)), q, b)
+    np.testing.assert_array_equal(np.asarray(cw_dev), cw_host)
+    np.testing.assert_array_equal(np.asarray(lw_dev), lw_host)
+
+
+def test_route_rejects_non_power_of_two():
+    with pytest.raises(ValueError, match="power of two"):
+        route_benes_np(np.arange(100))
+
+
+def test_plan_with_benes_matches_sort_path_exactly(rng):
+    """A benes-upgraded plan must produce bit-identical transforms (C=1):
+    the masked network and the destination sort realize the same
+    permutation."""
+    import torch_nfft_tpu as tn
+    from torch_nfft_tpu.ops.binned import build_plan
+
+    n, dim, N, m = 600, 2, 16, 3
+    pos = (np.random.default_rng(1).random((n, dim)) - 0.5).astype(np.float32)
+    pos /= 4 * np.abs(pos).max()
+    batch = np.zeros((n,), np.int32)
+    x = np.random.default_rng(2).standard_normal((n, 1)).astype(np.float32)
+
+    plan = build_plan(pos, batch, N=N, m=m, batch_size=1)
+    plan_b = plan.with_benes_tables(block_log2=9)
+
+    want = tn.nfft_adjoint(jnp.asarray(x), jnp.asarray(pos),
+                           jnp.asarray(batch), batch_size=1, bandwidth=N,
+                           cutoff=m, plan=plan, strategy="binned")
+    got = tn.nfft_adjoint(jnp.asarray(x), jnp.asarray(pos),
+                          jnp.asarray(batch), batch_size=1, bandwidth=N,
+                          cutoff=m, plan=plan_b, strategy="binned")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    yw = tn.nfft_forward(want, jnp.asarray(pos), jnp.asarray(batch),
+                         cutoff=m, plan=plan, strategy="binned")
+    yg = tn.nfft_forward(want, jnp.asarray(pos), jnp.asarray(batch),
+                         cutoff=m, plan=plan_b, strategy="binned")
+    np.testing.assert_array_equal(np.asarray(yg), np.asarray(yw))

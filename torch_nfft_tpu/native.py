@@ -20,14 +20,14 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ["get_lib", "native_available", "plan_tables"]
+__all__ = ["get_lib", "native_available", "plan_tables", "benes_route"]
 
 _LOCK = threading.Lock()
 _LIB = None
 _TRIED = False
 
-_SOURCES = ["plan_builder.cpp"]
-_CACHE_TAG = "v2"
+_SOURCES = ["plan_builder.cpp", "benes_router.cpp"]
+_CACHE_TAG = "v3"
 
 
 def _build_lib() -> ctypes.CDLL | None:
@@ -79,6 +79,7 @@ def get_lib() -> ctypes.CDLL | None:
             if _LIB is not None:
                 _LIB.nfft_plan_count.restype = ctypes.c_int64
                 _LIB.nfft_plan_fill.restype = ctypes.c_int32
+                _LIB.nfft_benes_route.restype = ctypes.c_int32
         _TRIED = True
     return _LIB
 
@@ -160,3 +161,33 @@ def plan_tables(pos, batch, M, m, T, nb, K, batch_size, pick_K=None):
     if rc != 0:
         return None
     return (slot_pt, slot_valid, origin, row_batch, inv_slot, order, row_start, row_count), K
+
+
+def benes_route(perm, n_threads: int | None = None):
+    """Route ``perm`` (a permutation of [0, 2^q)) through the Benes network.
+
+    Returns the per-pair swap bits as a (2q-1, n//64) uint32 array (bit
+    p & 31 of word p >> 5 = pair p of that stage), or None when the native
+    library is unavailable (callers fall back to the NumPy router in
+    ops/pallas/benes.py — fine for small n, hours at plan scale).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    perm = np.ascontiguousarray(perm, dtype=np.int32)
+    n = perm.shape[0]
+    q = int(n).bit_length() - 1
+    if (1 << q) != n or n < 64:
+        raise ValueError(f"benes_route needs a power-of-two length >= 64, got {n}")
+    if n_threads is None:
+        n_threads = min(8, os.cpu_count() or 1)
+    out = np.zeros((2 * q - 1, n // 64), np.uint32)
+    rc = lib.nfft_benes_route(
+        _ptr(perm, ctypes.c_int32),
+        ctypes.c_int64(n),
+        _ptr(out, ctypes.c_uint32),
+        ctypes.c_int32(int(n_threads)),
+    )
+    if rc != 0:
+        return None
+    return out

@@ -39,7 +39,7 @@ from __future__ import annotations
 
 import math
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from functools import partial
 
 import numpy as np
@@ -130,6 +130,11 @@ class BinnedPlan:
     # contiguous run of `order`
     order: object = None  # (n,) int32 np.ndarray
     row_start: object = None  # (S,) int32 np.ndarray
+    # optional routed Benes masks for the slot permutation (built once via
+    # with_benes_tables(); C == 1 transforms then apply the user<->slot
+    # permutations in 2*log2(n)-1 masked exchange stages, ~3x faster than
+    # the lax.sort path — see ops/pallas/benes.py)
+    benes: object = None  # BenesTables | None (pytree child)
 
     @property
     def M(self) -> int:
@@ -158,6 +163,7 @@ class BinnedPlan:
             self.row_batch,
             self.fill_keys,
             self.row_count,
+            self.benes,
         )
         aux = (
             self.n, self.dim, self.N, self.m, self.sigma, self.T, self.K,
@@ -167,7 +173,17 @@ class BinnedPlan:
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        return cls(*children[:6], *aux, benes=children[6])
+
+    def with_benes_tables(self, block_log2: int = 18) -> "BinnedPlan":
+        """A copy of this plan carrying routed Benes permutation masks
+        (ops/pallas/benes.py). One-time host routing + bit upload;
+        transforms with one trailing column then run the user<->slot
+        permutations ~3x faster than the sort path."""
+        from .pallas.benes import plan_benes_tables
+
+        return replace(self, benes=plan_benes_tables(
+            self, block_log2=block_log2))
 
 
 def position_fingerprint(pos, M: int, m: int) -> int:

@@ -1,0 +1,533 @@
+"""Benes-network permutation apply for TPU (Pallas + XLA) — experimental.
+
+The engine's user<->slot permutations run as ``lax.sort`` by destination
+(contract._slot_values): ~100 ms at the 3D headline, ~75% of the fused
+adjoint+forward pair. XLA's TPU sort is a key-compared network of ~log^2(n)
+~= 300 stages at 2^24-2^25 elements, each near memory bandwidth — hard to
+beat WITH keys. But the permutation is STATIC per plan, so the comparisons
+can be precomputed: a Benes network routes any permutation in only
+2*log2(n) - 1 compare-exchange stages whose swap decisions are plan-time
+constants (1 bit per pair per stage). Applying it needs no keys at all:
+
+- the outer 2*(q-b) stages (distance >= block) are aligned elementwise
+  selects that XLA executes at HBM bandwidth;
+- the middle 2b-1 stages (the Benes recursion has decomposed the problem
+  into independent 2^b-element subproblems by then) run fused in one
+  Pallas kernel pass, masks streamed as packed int32 words.
+
+Routing bits come from the classic looping algorithm (sequential cycle
+2-coloring): a NumPy/Python reference lives here for tests and small n;
+plan-scale routing (tens of millions of elements) uses the native C++
+router in ``csrc/plan_builder.cpp`` via ``torch_nfft_tpu.native``.
+
+The reference CUDA code has no analog (its data movement is hardware
+atomics, ``csrc/cuda/cuda_utils.cu:45-84``); this is a TPU-native answer
+to "apply a known permutation at memory speed".
+
+Network convention: n = 2^q elements, stages t = 0..2q-2 with distances
+ds = [q-1, q-2, .., 1, 0, 1, .., q-1]. Stage t exchanges pairs
+(i, i ^ 2^d) where mask[t][i] == mask[t][i ^ 2^d] == 1.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+DEFAULT_BLOCK_LOG2 = 18  # 1 MB f32 value blocks in VMEM
+
+
+def stage_distances(q: int) -> list[int]:
+    """The 2q-1 per-stage exchange distances (as exponents d; pair i^2^d)."""
+    return list(range(q - 1, -1, -1)) + list(range(1, q))
+
+
+# ---------------------------------------------------------------------------
+# Routing (NumPy reference — the looping algorithm). O(n log n) Python; use
+# for n <= ~2^16 (tests, probes). The C++ router handles plan-scale inputs.
+# ---------------------------------------------------------------------------
+
+
+def route_benes_np(perm: np.ndarray) -> np.ndarray:
+    """Swap masks (2q-1, n) bool for ``out[perm[i]] = x[i]``.
+
+    ``perm`` must be a permutation of [0, n), n a power of two. The masks
+    satisfy mask[t][i] == mask[t][i ^ 2^ds[t]] (a bit per pair, stored per
+    element for simplicity).
+    """
+    perm = np.asarray(perm, dtype=np.int64)
+    n = perm.shape[0]
+    q = int(n).bit_length() - 1
+    if (1 << q) != n:
+        raise ValueError(f"length must be a power of two, got {n}")
+    masks = np.zeros((max(2 * q - 1, 1), n), dtype=bool)
+
+    def rec(base: int, pi: np.ndarray, level: int):
+        m = pi.shape[0]
+        if m == 1:
+            return
+        h = m // 2
+        t_in = level
+        t_out = 2 * q - 2 - level
+        if m == 2:
+            # single middle switch: swap iff the pair crosses
+            if pi[0] == 1:
+                masks[t_in, base] = masks[t_in, base + 1] = True
+            return
+        inv = np.empty(m, dtype=np.int64)
+        inv[pi] = np.arange(m)
+        # subnet[i] in {0 (upper), 1 (lower), -1 unassigned}
+        subnet = np.full(m, -1, dtype=np.int8)
+        for seed in range(m):
+            if subnet[seed] >= 0:
+                continue
+            i, s = seed, 0
+            while subnet[i] < 0:
+                subnet[i] = s
+                subnet[i ^ h] = 1 - s  # input partner: other subnet
+                # the element sharing the OUTPUT pair with the input partner
+                # must avoid the partner's subnet -> same subnet as i
+                j = inv[pi[i ^ h] ^ h]
+                if subnet[j] < 0:
+                    i, s = j, s  # continue the chain with the same color
+                else:
+                    break
+        # entry bits: pair (i, i+h) swaps iff lower member routed to lower
+        low = np.arange(h)
+        swap_in = subnet[low] == 1
+        masks[t_in, base + low] = swap_in
+        masks[t_in, base + low + h] = swap_in
+        # exit bits: output pair (o, o+h) swaps iff the element destined to
+        # o travelled the lower subnet
+        swap_out = subnet[inv[low]] == 1
+        masks[t_out, base + low] = swap_out
+        masks[t_out, base + low + h] = swap_out
+        # sub-permutations: element i enters subnet[i] at slot i mod h and
+        # must exit toward slot pi[i] mod h
+        pi_u = np.empty(h, dtype=np.int64)
+        pi_l = np.empty(h, dtype=np.int64)
+        for i in range(m):
+            if subnet[i] == 0:
+                pi_u[i & (h - 1)] = pi[i] & (h - 1)
+            else:
+                pi_l[i & (h - 1)] = pi[i] & (h - 1)
+        rec(base, pi_u, level + 1)
+        rec(base + h, pi_l, level + 1)
+
+    rec(0, perm.copy(), 0)
+    return masks
+
+
+def apply_benes_np(masks: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """NumPy oracle: push x through the network (stage t exchanges i^2^ds[t]
+    where masks[t])."""
+    n = x.shape[0]
+    q = int(n).bit_length() - 1
+    out = x.copy()
+    for t, d in enumerate(stage_distances(q)):
+        D = 1 << d
+        sel = masks[t]
+        partner = out.reshape(-1, 2, D)[:, ::-1, :].reshape(n)
+        out = np.where(sel, partner, out)
+    return out
+
+
+def unpack_pair_bits_np(bits: np.ndarray, q: int) -> np.ndarray:
+    """Per-element masks (2q-1, n) bool from the router's per-pair packing
+    (bit p & 31 of word p >> 5 = pair p; see csrc/benes_router.cpp).
+
+    Pair p of stage distance d covers elements ((p >> d) << (d+1)) + j and
+    + j + 2^d for j = p & (2^d - 1) — a reshape + broadcast, no gathers."""
+    n = bits.shape[1] * 64
+    masks = np.empty((bits.shape[0], n), dtype=bool)
+    for t, d in enumerate(stage_distances(q)):
+        pb = np.unpackbits(
+            bits[t].view(np.uint8), bitorder="little"
+        )  # (n/2,) in pair-id order
+        masks[t] = np.broadcast_to(
+            pb.reshape(-1, 1, 1 << d), (n >> (d + 1), 2, 1 << d)
+        ).reshape(n)
+    return masks
+
+
+# ---------------------------------------------------------------------------
+# Mask packing. ONE packed set serves BOTH directions: a Benes network run
+# with its stages in reverse order applies the INVERSE permutation (each
+# stage is an involution and the distance list is a palindrome), and the
+# engine's unslot map is exactly the inverse of its slot map.
+#
+# Layout (n = 2^q, block 2^b, qc = q - b cross stages per side):
+#   cross_words (max(1, ceil(2*qc/32)), n) int32 — bit t = entry stage t
+#     (distance 2^(q-1-t)); bit qc+t = exit stage t (distance 2^(b+t)).
+#   local_words (ceil((2b-1)/32), n) int32 — bit j%32 of word j//32 = local
+#     stage j (distances b-1..0..b-1).
+# ---------------------------------------------------------------------------
+
+
+def pack_masks(masks: np.ndarray, q: int, block_log2: int):
+    """(cross_words, local_words) int32 arrays from per-element masks
+    (2q-1, n) — see the layout note above."""
+    b = min(q, block_log2)
+    qc = q - b
+    n = masks.shape[1]
+    n_local = 2 * b - 1
+    cw = np.zeros((max(1, -(-(2 * qc) // 32)), n), np.uint32)
+    for t in range(qc):
+        cw[t // 32] |= masks[t].astype(np.uint32) << np.uint32(t % 32)
+        e = qc + t
+        cw[e // 32] |= (
+            masks[q - 1 + b + t].astype(np.uint32) << np.uint32(e % 32)
+        )
+    lw = np.zeros((-(-n_local // 32), n), np.uint32)
+    for j in range(n_local):
+        lw[j // 32] |= masks[qc + j].astype(np.uint32) << np.uint32(j % 32)
+    return cw.astype(np.int32), lw.astype(np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("q", "block_log2"))
+def expand_pair_bits(bits, q: int, block_log2: int):
+    """Device (jnp) version of unpack+pack: from the router's per-pair
+    packed bits (2q-1, n/64) int32/uint32 straight to (cross_words,
+    local_words) — ships ~n bits per stage instead of ~32n. One fused jit
+    (eager per-stage dispatch costs seconds over a tunnel link)."""
+    b = min(q, block_log2)
+    qc = q - b
+    n = bits.shape[1] * 64
+    ds = stage_distances(q)
+    bits = jnp.asarray(bits).view(jnp.uint32)
+
+    def elem_bits(t):
+        d = ds[t]
+        pair = (
+            (bits[t][:, None] >> jnp.arange(32, dtype=jnp.uint32)) & 1
+        ).reshape(-1)  # (n/2,) in pair-id order
+        return jnp.broadcast_to(
+            pair.reshape(n >> (d + 1), 1, 1 << d),
+            (n >> (d + 1), 2, 1 << d),
+        ).reshape(n)
+
+    cw = jnp.zeros((max(1, -(-(2 * qc) // 32)), n), jnp.uint32)
+    for t in range(qc):
+        cw = cw.at[t // 32].add(elem_bits(t) << jnp.uint32(t % 32))
+        e = qc + t
+        cw = cw.at[e // 32].add(elem_bits(q - 1 + b + t) << jnp.uint32(e % 32))
+    n_local = 2 * b - 1
+    lw = jnp.zeros((-(-n_local // 32), n), jnp.uint32)
+    for j in range(n_local):
+        lw = lw.at[j // 32].add(elem_bits(qc + j) << jnp.uint32(j % 32))
+    return cw.view(jnp.int32), lw.view(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Device apply
+# ---------------------------------------------------------------------------
+
+
+def _cross_stage_xla(x, words, word: int, bit: int, d: int):
+    """Aligned compare-exchange at distance 2^d, bit extracted from the
+    packed cross words — XLA path (tests / non-Pallas backends)."""
+    sel = (jnp.right_shift(words[word], bit) & 1) != 0
+    D = 1 << d
+    x3 = x.reshape(-1, 2, D)
+    s3 = sel.reshape(-1, 2, D)
+    a, bb = x3[:, 0], x3[:, 1]
+    sa = s3[:, 0]
+    lo = jnp.where(sa, bb, a)
+    hi = jnp.where(sa, a, bb)
+    return jnp.concatenate([lo[:, None], hi[:, None]], 1).reshape(x.shape)
+
+
+def _cross_kernel(w_ref, my_ref, pt_ref, out_ref, *, bit: int):
+    sel = (jnp.right_shift(w_ref[:], bit) & 1) != 0
+    out_ref[:] = jnp.where(sel, pt_ref[:], my_ref[:])
+
+
+def _cross_stage_pallas(v2, w2, word_row: int, bit: int, P_blocks: int,
+                        R: int, interpret: bool):
+    """One cross-block exchange: block g reads itself and partner block
+    g ^ P_blocks (same array through two BlockSpecs — partners share the
+    within-block offset); swap bit from the packed word block. One
+    read-pair + word + write at HBM bandwidth."""
+    G = v2.shape[0] // R
+    spec = pl.BlockSpec((R, LANES), lambda g: (g, 0))
+    spec_pt = pl.BlockSpec((R, LANES), lambda g: (g ^ P_blocks, 0))
+    wspec = pl.BlockSpec((1, R, LANES), lambda g: (word_row, g, 0))
+
+    def kern(w_ref, my_ref, pt_ref, out_ref):
+        sel = (jnp.right_shift(w_ref[0], bit) & 1) != 0
+        out_ref[:] = jnp.where(sel, pt_ref[:], my_ref[:])
+
+    return pl.pallas_call(
+        kern,
+        grid=(G,),
+        in_specs=[wspec, spec, spec_pt],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(v2.shape, v2.dtype),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(w2, v2, v2)
+
+
+def _row_exchange(v, sel, d: int):
+    """Masked exchange at distance 2^d >= 128 (across sublanes): partner is
+    the opposite half of each 2^(d-6)-row group — a static shuffle."""
+    pr = 1 << (d - 7)
+    R = v.shape[0]
+    v4 = v.reshape(-1, 2, pr, LANES)
+    vp = jnp.concatenate([v4[:, 1:2], v4[:, 0:1]], axis=1).reshape(R, LANES)
+    return jnp.where(sel, vp, v)
+
+
+def _lane_exchange(v, sel, d: int, lane, interpret: bool):
+    """Masked exchange at distance 2^d < 128 (across lanes): both static
+    circular rolls, the right one selected by the lane's role bit."""
+    s = 1 << d
+    roll = jnp.roll if interpret else pltpu.roll
+    up = (lane & s) != 0
+    vp = jnp.where(up, roll(v, s, axis=1), roll(v, (LANES - s) % LANES,
+                                                axis=1))
+    return jnp.where(sel, vp, v)
+
+
+def _local_ds(b: int) -> list[int]:
+    return list(range(b - 1, -1, -1)) + list(range(1, b))
+
+
+def _local_kernel_unrolled(words_ref, v_ref, vo_ref, *, b: int, j_lo: int,
+                           j_hi: int, reverse: bool, interpret: bool):
+    """Local stages j_lo..j_hi fused in VMEM (j indexes the APPLY order;
+    reverse reads the mask bits back-to-front — the distance list is a
+    palindrome so ds stays the same). Unrolled: one specialized shuffle per
+    stage; compile time scales with stages x sublane tiles, callers chunk."""
+    R = v_ref.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+    ds = _local_ds(b)
+    n_local = len(ds)
+    vo_ref[:] = v_ref[:]
+    for j in range(j_lo, j_hi + 1):
+        d = ds[j]
+        jb = (n_local - 1 - j) if reverse else j
+        sel = (jnp.right_shift(words_ref[jb // 32], jb % 32) & 1) == 1
+        v = vo_ref[:]
+        if d >= 7:
+            vo_ref[:] = _row_exchange(v, sel, d)
+        else:
+            vo_ref[:] = _lane_exchange(v, sel, d, lane, interpret)
+
+
+# compile-time guard: stages per unrolled kernel (the remote Mosaic
+# compiler slows dramatically beyond ~50-80 unrolled whole-block stages)
+LOCAL_CHUNK = 18
+
+
+def _local_kernel_loop(ds_ref, words_ref, v_ref, vo_ref, *, b: int,
+                       n_stages: int, reverse: bool, interpret: bool):
+    """All local stages as a fori_loop (compiles in seconds, ~3x slower
+    per stage than the unrolled kernels — dynamic rolls)."""
+    R = v_ref.shape[0]
+    W = words_ref.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+    idx = row * LANES + lane
+    roll = jnp.roll if interpret else pltpu.roll
+
+    def body(j, v):
+        d = ds_ref[j]
+        jb = (n_stages - 1 - j) if reverse else j
+        word = words_ref[0]
+        for w in range(1, W):
+            word = jnp.where(jb // 32 == w, words_ref[w], word)
+        sel = (jnp.right_shift(word, jb % 32) & 1) == 1
+        s = jnp.left_shift(jnp.int32(1), d)
+        s_lane = jnp.where(d < 7, s, 0)
+        s_row = jnp.where(d < 7, 0, jnp.right_shift(s, 7))
+        role_up = (jnp.right_shift(idx, d) & 1) == 1
+        below = roll(roll(v, s_lane, axis=1), s_row, axis=0)
+        above = roll(
+            roll(v, (LANES - s_lane) % LANES, axis=1), (R - s_row) % R,
+            axis=0,
+        )
+        vp = jnp.where(role_up, below, above)
+        return jnp.where(sel, vp, v)
+
+    v = jax.lax.fori_loop(0, n_stages, body, v_ref[:])
+    vo_ref[:] = v
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_log2", "reverse", "interpret", "mode"),
+)
+def apply_benes(vals, cross_words, local_words, *,
+                block_log2: int = DEFAULT_BLOCK_LOG2,
+                reverse: bool = False, interpret: bool = False,
+                mode: str = "unrolled"):
+    """Push ``vals`` (n = 2^q, f32/i32) through a routed Benes network.
+
+    Forward gives ``out[perm[i]] = vals[i]`` for the routed permutation;
+    ``reverse=True`` runs the stages back-to-front and applies the INVERSE
+    permutation with the same masks. ``mode``: "unrolled" (default),
+    "loop" (compile-light), or "xla" (no Pallas — reference path).
+    """
+    n = vals.shape[0]
+    q = n.bit_length() - 1
+    if (1 << q) != n:
+        raise ValueError(f"length must be a power of two, got {n}")
+    b = min(q, block_log2)
+    qc = q - b
+    R = (1 << b) // LANES
+    G = n // (1 << b)
+    use_pallas = mode != "xla" and not interpret
+
+    # phase bit indices: forward entry t -> bit t, exit t -> bit qc + t;
+    # reverse swaps and mirrors the two cross phases
+    def cross_phase(vals, phase3: bool):
+        for t in range(qc):
+            d = (b + t) if phase3 else (q - 1 - t)
+            if not reverse:
+                cbit = (qc + t) if phase3 else t
+            else:
+                cbit = (qc - 1 - t) if phase3 else (qc + qc - 1 - t)
+            if use_pallas:
+                v2 = vals.reshape(G * R, LANES)
+                w3 = cross_words.reshape(-1, G * R, LANES)
+                vals = _cross_stage_pallas(
+                    v2, w3, cbit // 32, cbit % 32, (1 << d) // (1 << b), R,
+                    interpret,
+                ).reshape(n)
+            else:
+                vals = _cross_stage_xla(
+                    vals, cross_words, cbit // 32, cbit % 32, d
+                )
+        return vals
+
+    vals = cross_phase(vals, phase3=False)
+
+    n_local = 2 * b - 1
+    v2 = vals.reshape(G * R, LANES)
+    w3 = local_words.reshape(local_words.shape[0], G * R, LANES)
+    spec = pl.BlockSpec((R, LANES), lambda g: (g, 0))
+    wspec = pl.BlockSpec(
+        (local_words.shape[0], R, LANES), lambda g: (0, g, 0)
+    )
+    common = dict(
+        grid=(G,),
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(v2.shape, v2.dtype),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )
+    if mode == "xla":
+        ds = _local_ds(b)
+        vals = v2.reshape(n)
+        for j, d in enumerate(ds):
+            jb = (n_local - 1 - j) if reverse else j
+            vals = _cross_stage_xla(vals, local_words, jb // 32, jb % 32, d)
+        v2 = vals.reshape(G * R, LANES)
+    elif mode == "loop":
+        ds = jnp.asarray(_local_ds(b), jnp.int32)
+        v2 = pl.pallas_call(
+            functools.partial(_local_kernel_loop, b=b, n_stages=n_local,
+                              reverse=reverse, interpret=interpret),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), wspec, spec],
+            input_output_aliases={2: 0},
+            **common,
+        )(ds, w3, v2)
+    else:
+        for j_lo in range(0, n_local, LOCAL_CHUNK):
+            j_hi = min(j_lo + LOCAL_CHUNK, n_local) - 1
+            v2 = pl.pallas_call(
+                functools.partial(_local_kernel_unrolled, b=b, j_lo=j_lo,
+                                  j_hi=j_hi, reverse=reverse,
+                                  interpret=interpret),
+                in_specs=[wspec, spec],
+                input_output_aliases={1: 0},
+                **common,
+            )(w3, v2)
+    vals = v2.reshape(n)
+
+    return cross_phase(vals, phase3=True)
+
+
+# ---------------------------------------------------------------------------
+# Plan-level tables: route once per plan, apply per transform.
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+class BenesTables:
+    """Routed masks for a plan's slot permutation, padded to n = 2^q.
+
+    Forward apply scatters user-order values (plus zero padding) into slot
+    order; reverse apply is the inverse (slot -> user). One mask set serves
+    both (see the packing note above)."""
+
+    def __init__(self, cross_words, local_words, n: int, b: int):
+        self.cross_words = cross_words
+        self.local_words = local_words
+        self.n = int(n)  # padded length 2^q
+        self.b = int(b)
+
+    def tree_flatten(self):
+        return (self.cross_words, self.local_words), (self.n, self.b)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], *aux)
+
+
+def route_tables(perm_ext: np.ndarray, *,
+                 block_log2: int = DEFAULT_BLOCK_LOG2) -> BenesTables:
+    """Route an extended permutation (host NumPy, length 2^q) and ship the
+    packed per-pair bits (~n bits/stage — the minimal payload for slow
+    host->device links); masks are expanded to the kernels' word layout on
+    the device."""
+    n = perm_ext.shape[0]
+    q = int(n).bit_length() - 1
+    if (1 << q) != n:
+        raise ValueError(f"length must be a power of two, got {n}")
+    b = min(q, block_log2)
+    bits = None
+    if n >= 64:
+        from ...native import benes_route
+
+        bits = benes_route(perm_ext)
+    if bits is None:  # native unavailable or tiny input: NumPy router
+        cw, lw = pack_masks(route_benes_np(perm_ext), q, b)
+        return BenesTables(jnp.asarray(cw), jnp.asarray(lw), n, b)
+    cw, lw = expand_pair_bits(jnp.asarray(bits.view(np.int32)), q, b)
+    return BenesTables(cw, lw, n, b)
+
+
+def plan_benes_tables(plan, *,
+                      block_log2: int = DEFAULT_BLOCK_LOG2) -> BenesTables:
+    """Tables for a :class:`BinnedPlan`'s fill permutation.
+
+    Pulls ``plan.fill_keys`` to the host (the looping algorithm is
+    inherently sequential — it runs in native C++), extends it with an
+    identity tail to the next power of two, routes, and ships the packed
+    bits back. One-time cost per plan: at the 3D headline (S*K = 18M ->
+    2^25) roughly a fill_keys pull + ~57 s routing on a 1-core host +
+    a ~103 MB bit upload; amortized across every subsequent transform,
+    which saves ~120 ms/pair (see BASELINE.md).
+    """
+    S, K = plan.slot_pt.shape
+    n_slots = S * K
+    q = max(6, int(n_slots - 1).bit_length())
+    npad = 1 << q
+    fk = np.asarray(plan.fill_keys)  # device -> host pull
+    perm_ext = np.concatenate(
+        [fk, np.arange(n_slots, npad, dtype=np.int32)]
+    )
+    return route_tables(perm_ext, block_log2=block_log2)

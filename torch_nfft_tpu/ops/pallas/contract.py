@@ -494,9 +494,23 @@ def _slot_values(plan, x):
     (S*K = 19.3M) where the unique-index scatter — itself ~30% faster than
     any gather formulation — takes ~132 ms and random-access formulations
     are issue-bound at ~11 ns/element (examples/probe_permute_sort.py).
-    Coordinates never need this — the plan precomputes plan.slot_pos."""
+    Coordinates never need this — the plan precomputes plan.slot_pos.
+
+    Plans upgraded with routed Benes masks (plan.with_benes_tables())
+    apply the permutation in 2*log2(n)-1 masked exchange stages instead —
+    ~42 ms vs ~100 ms at the headline (ops/pallas/benes.py)."""
     S, K = plan.slot_pt.shape
     n, C = x.shape
+    bt = getattr(plan, "benes", None)
+    if bt is not None and C == 1:
+        from .benes import apply_benes
+
+        v = jnp.concatenate(
+            [x[:, 0], jnp.zeros((bt.n - n,), x.dtype)]
+        )
+        out = apply_benes(v, bt.cross_words, bt.local_words,
+                          block_log2=bt.b, interpret=_interpret())
+        return out[: S * K][None, :]
     pad = jnp.zeros((S * K - n, C), x.dtype)
     vals = jnp.concatenate([x, pad], axis=0)
     sorted_ops = jax.lax.sort(
@@ -511,12 +525,26 @@ def _unslot_values(plan, out_flat, n):
     :func:`_slot_values`, again as a sort by destination — valid slots carry
     their user index (a permutation of [0, n)), padding slots the sentinel n
     and sort to the dropped tail. ~100 ms vs the scatter's ~174 ms at the 3D
-    headline (examples/probe_permute_sort.py)."""
+    headline (examples/probe_permute_sort.py).
+
+    With routed Benes masks on the plan, runs the slot network in REVERSE —
+    the same masks apply the inverse permutation (slot -> user)."""
     S, K = plan.slot_pt.shape
+    C = out_flat.shape[1]
+    bt = getattr(plan, "benes", None)
+    if bt is not None and C == 1:
+        from .benes import apply_benes
+
+        v = jnp.concatenate(
+            [out_flat[:, 0], jnp.zeros((bt.n - S * K,), out_flat.dtype)]
+        )
+        out = apply_benes(v, bt.cross_words, bt.local_words,
+                          block_log2=bt.b, reverse=True,
+                          interpret=_interpret())
+        return out[:n, None]
     k_iota = jnp.arange(K, dtype=jnp.int32)[None, :]
     valid = k_iota < plan.row_count[:, None]
     keys = jnp.where(valid, plan.slot_pt, n).reshape(-1)
-    C = out_flat.shape[1]
     sorted_ops = jax.lax.sort(
         [keys] + [out_flat[:, c] for c in range(C)],
         num_keys=1, is_stable=False,
