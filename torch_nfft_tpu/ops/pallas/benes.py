@@ -191,38 +191,52 @@ def pack_masks(masks: np.ndarray, q: int, block_log2: int):
     return cw.astype(np.int32), lw.astype(np.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("q", "block_log2"))
+@functools.partial(jax.jit, static_argnames=("d",), donate_argnums=(0,))
+def _or_stage_bits(row, bits_t, shift, *, d: int):
+    """OR one stage's expanded per-element bits (shifted) into a word row.
+
+    One small dispatch per stage (donated accumulator) — a single jit
+    unrolling all 2q-1 stages plans ~50 concurrent 128 MB temps at plan
+    scale and exceeds the HBM budget at compile time."""
+    n = row.shape[0]
+    pair = (
+        (bits_t[:, None] >> jnp.arange(32, dtype=jnp.uint32)) & 1
+    ).reshape(-1)  # (n/2,) in pair-id order
+    eb = jnp.broadcast_to(
+        pair.reshape(n >> (d + 1), 1, 1 << d),
+        (n >> (d + 1), 2, 1 << d),
+    ).reshape(n)
+    return row | (eb << shift)
+
+
 def expand_pair_bits(bits, q: int, block_log2: int):
-    """Device (jnp) version of unpack+pack: from the router's per-pair
-    packed bits (2q-1, n/64) int32/uint32 straight to (cross_words,
-    local_words) — ships ~n bits per stage instead of ~32n. One fused jit
-    (eager per-stage dispatch costs seconds over a tunnel link)."""
+    """From the router's per-pair packed bits (2q-1, n/64) int32/uint32
+    straight to (cross_words, local_words) — ships ~n bits per stage
+    instead of ~32n, expanded to the kernels' word layout on device.
+
+    Dispatches one jit per stage (compiled once per distinct distance,
+    persistently cached); ~tens of ms per stage on a tunnel link, once
+    per plan."""
     b = min(q, block_log2)
     qc = q - b
     n = bits.shape[1] * 64
     ds = stage_distances(q)
     bits = jnp.asarray(bits).view(jnp.uint32)
 
-    def elem_bits(t):
-        d = ds[t]
-        pair = (
-            (bits[t][:, None] >> jnp.arange(32, dtype=jnp.uint32)) & 1
-        ).reshape(-1)  # (n/2,) in pair-id order
-        return jnp.broadcast_to(
-            pair.reshape(n >> (d + 1), 1, 1 << d),
-            (n >> (d + 1), 2, 1 << d),
-        ).reshape(n)
+    def or_into(row, t, shift):
+        return _or_stage_bits(row, bits[t], jnp.uint32(shift), d=ds[t])
 
-    cw = jnp.zeros((max(1, -(-(2 * qc) // 32)), n), jnp.uint32)
+    cw = [jnp.zeros((n,), jnp.uint32)
+          for _ in range(max(1, -(-(2 * qc) // 32)))]
     for t in range(qc):
-        cw = cw.at[t // 32].add(elem_bits(t) << jnp.uint32(t % 32))
+        cw[t // 32] = or_into(cw[t // 32], t, t % 32)
         e = qc + t
-        cw = cw.at[e // 32].add(elem_bits(q - 1 + b + t) << jnp.uint32(e % 32))
+        cw[e // 32] = or_into(cw[e // 32], q - 1 + b + t, e % 32)
     n_local = 2 * b - 1
-    lw = jnp.zeros((-(-n_local // 32), n), jnp.uint32)
+    lw = [jnp.zeros((n,), jnp.uint32) for _ in range(-(-n_local // 32))]
     for j in range(n_local):
-        lw = lw.at[j // 32].add(elem_bits(qc + j) << jnp.uint32(j % 32))
-    return cw.view(jnp.int32), lw.view(jnp.int32)
+        lw[j // 32] = or_into(lw[j // 32], qc + j, j % 32)
+    return (jnp.stack(cw).view(jnp.int32), jnp.stack(lw).view(jnp.int32))
 
 
 # ---------------------------------------------------------------------------
