@@ -189,6 +189,7 @@ def main():
     # the chip — no O(n) host-link transfers (the host builder ships ~8B/pt).
     plan = None
     t_plan = 0.0
+    t_benes = 0.0
     if strategy in ("auto", "binned"):
         from torch_nfft_tpu.ops.binned import build_plan_device
 
@@ -208,7 +209,6 @@ def main():
             plan = plan.with_benes_tables()
             jax.block_until_ready(plan.benes.local_words)
             t_benes = time.perf_counter() - t0
-            t_plan += t_benes
             _log(f"benes permutation tables in {t_benes:.1f}s "
                  f"(n={plan.benes.n}, host route + bit upload)")
 
@@ -280,6 +280,11 @@ def main():
             "n_points": n,
             "seconds_per_pair": round(t, 4),
             "plan_seconds": round(t_plan, 4),
+            # one-time OPTIONAL plan upgrade (routed permutation masks),
+            # dominated by sequential C++ routing on the 1-core tunnel
+            # host + a ~100 MB bit upload; amortized at ~120 ms saved per
+            # pair. BENCH_BENES=0 skips it (sort permutations instead).
+            "benes_upgrade_seconds": round(t_benes, 4),
             "accuracy_gate_rel_l2_2d_n16": rel_err,
             "accuracy_gate_ok": gate_ok,
             "headline_rel_l2_sampled_freqs": rel_headline,
