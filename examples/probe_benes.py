@@ -28,6 +28,7 @@ def main():
 
     q = int(sys.argv[1]) if len(sys.argv) > 1 else 25
     b = int(sys.argv[2]) if len(sys.argv) > 2 else 18
+    sbs = [int(s) for s in os.environ.get("PROBE_SB", "").split(",") if s]
     n = 1 << q
     qc = q - b
     Wc = max(1, -(-(2 * qc) // 32))
@@ -65,6 +66,16 @@ def main():
               flush=True)
         return out
 
+    if sbs:
+        # superblock scan: how the fused/cross split prices out on hardware
+        for sb in sbs:
+            for rev in (False, True):
+                timed(f"apply_benes b={b} sb={sb} rev={rev}",
+                      lambda v, c, l, sb=sb, rev=rev: apply_benes(
+                          v, c, l, block_log2=b, reverse=rev,
+                          super_log2=sb),
+                      vals, cw, lw)
+        return
     for mode in ("unrolled", "loop"):
         for rev in (False, True):
             timed(f"apply_benes b={b} {mode} rev={rev}",

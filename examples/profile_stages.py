@@ -50,7 +50,9 @@ def timeit(fn, *args, iters=3):
 
 def main():
     logn = int(sys.argv[1]) if len(sys.argv) > 1 else 22
-    n, N, dim, m = 1 << logn, 256, 3, 4
+    window = os.environ.get("PROFILE_WINDOW", "gaussian")
+    m = int(os.environ.get("PROFILE_M", 2 if window == "es" else 4))
+    n, N, dim = 1 << logn, 256, 3
     M = 2 * N
     rng = np.random.default_rng(7)
     pos_np = (rng.random((n, dim), dtype=np.float32) - 0.5) / 2.0
@@ -60,12 +62,19 @@ def main():
     from torch_nfft_tpu.ops.tilefold import compact_cells
 
     t0 = time.perf_counter()
-    plan = build_plan_device(pos, None, N=N, m=m, batch_size=1)
+    plan = build_plan_device(pos, None, N=N, m=m, batch_size=1,
+                             window=window)
     float(jnp.sum(plan.row_count))  # force
+    if os.environ.get("PROFILE_BENES", "0") != "0":
+        t0b = time.perf_counter()
+        plan = plan.with_benes_tables()
+        jax.block_until_ready(plan.benes.local_words)
+        print(f"benes tables: {time.perf_counter()-t0b:.1f}s", flush=True)
     cells = compact_cells(plan)
     ca = cells is not None
     print(f"plan: {time.perf_counter()-t0:.2f}s rows={plan.slot_pt.shape[0]} "
-          f"K={plan.K} active={plan.active}", flush=True)
+          f"K={plan.K} active={plan.active} window={window} m={m}",
+          flush=True)
 
     # plan passed as an ARGUMENT: closing over it would bake its arrays
     # into the jaxpr as constants (shipped with every tunnel compile request)
@@ -76,14 +85,17 @@ def main():
     g = spread_j(plan, x, pos)
     print(f"spread_dft:  {t_spread*1e3:8.1f} ms  out={g.shape}", flush=True)
 
-    adj_j = jax.jit(lambda g: spectral_adjoint_pruned_dft(g, None, dim, N, m, 2.0, M=M, cells=cells)[0])
+    adj_j = jax.jit(lambda g: spectral_adjoint_pruned_dft(
+        g, None, dim, N, m, 2.0, M=M, cells=cells, window=window)[0])
     t_adj = timeit(adj_j, g)
     y = adj_j(g)
     yr = y
     yi = jnp.zeros_like(y)
     print(f"adj_dft:     {t_adj*1e3:8.1f} ms  out={y.shape}", flush=True)
 
-    fwd_j = jax.jit(lambda a, b: spectral_forward_pruned_dft(a, b, dim, M, m, 2.0, cells=cells)[0])
+    fwd_j = jax.jit(lambda a, b: spectral_forward_pruned_dft(
+        a, b, dim, M, m, 2.0, cells=cells, real_only=True,
+        window=window)[0])
     t_fwd = timeit(fwd_j, yr, yi)
     g2 = fwd_j(yr, yi)
     print(f"fwd_dft:     {t_fwd*1e3:8.1f} ms  out={g2.shape}", flush=True)

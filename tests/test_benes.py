@@ -54,6 +54,26 @@ def test_apply_benes_device_matches_permutation(q, b, mode):
     np.testing.assert_array_equal(np.asarray(back), x)
 
 
+@pytest.mark.parametrize("sb", [9, 10, 11, 12, 13])
+def test_apply_benes_super_log2_splits(sb):
+    """The execution superblock (fused low-distance cross stages) must not
+    change results at any outer/fused split, forward or reverse."""
+    q, b = 13, 9
+    rng = np.random.default_rng(sb)
+    n = 1 << q
+    perm = rng.permutation(n)
+    cw, lw = pack_masks(route_benes_np(perm), q, b)
+    x = rng.standard_normal(n).astype(np.float32)
+    out = apply_benes(jnp.asarray(x), jnp.asarray(cw), jnp.asarray(lw),
+                      block_log2=b, interpret=True, super_log2=sb)
+    ref = np.empty_like(x)
+    ref[perm] = x
+    np.testing.assert_array_equal(np.asarray(out), ref)
+    back = apply_benes(out, jnp.asarray(cw), jnp.asarray(lw), block_log2=b,
+                       reverse=True, interpret=True, super_log2=sb)
+    np.testing.assert_array_equal(np.asarray(back), x)
+
+
 def test_apply_benes_int32_payload():
     rng = np.random.default_rng(3)
     q, b = 10, 9

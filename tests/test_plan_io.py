@@ -58,6 +58,40 @@ def test_loaded_plan_runs_transforms(rng, tmp_path):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
 
 
+def test_round_trip_preserves_benes_routing(rng, tmp_path):
+    """A benes-upgraded plan persists its routed bits; the loaded plan
+    re-expands them (no host re-routing) and transforms bit-identically."""
+    from torch_nfft_tpu.native import native_available
+
+    if not native_available():
+        pytest.skip("native router unavailable")
+    plan, pos, batch, N, m, B = _plan_and_points(rng)
+    plan = plan.with_benes_tables(block_log2=9)
+    assert plan.benes.pair_bits is not None
+    path = tmp_path / "plan.npz"
+    save_plan(path, plan)
+    loaded = load_plan(path)
+
+    assert loaded.benes is not None
+    assert (loaded.benes.n, loaded.benes.b) == (plan.benes.n, plan.benes.b)
+    np.testing.assert_array_equal(
+        np.asarray(loaded.benes.cross_words), np.asarray(plan.benes.cross_words)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(loaded.benes.local_words), np.asarray(plan.benes.local_words)
+    )
+    x = jnp.asarray(rng.standard_normal((pos.shape[0], 1)).astype(np.float32))
+    want = tn.nfft_adjoint(
+        x, jnp.asarray(pos), jnp.asarray(batch), batch_size=B,
+        bandwidth=N, cutoff=m, plan=plan, strategy="binned",
+    )
+    got = tn.nfft_adjoint(
+        x, jnp.asarray(pos), jnp.asarray(batch), batch_size=B,
+        bandwidth=N, cutoff=m, plan=loaded, strategy="binned",
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_loaded_plan_keeps_mismatch_detection(rng, tmp_path):
     """The saved pos_fp fingerprint still catches a foreign point set."""
     plan, pos, batch, N, m, B = _plan_and_points(rng)

@@ -9,11 +9,12 @@ can be precomputed: a Benes network routes any permutation in only
 2*log2(n) - 1 compare-exchange stages whose swap decisions are plan-time
 constants (1 bit per pair per stage). Applying it needs no keys at all:
 
-- the outer 2*(q-b) stages (distance >= block) are aligned elementwise
-  selects that XLA executes at HBM bandwidth;
-- the middle 2b-1 stages (the Benes recursion has decomposed the problem
-  into independent 2^b-element subproblems by then) run fused in one
-  Pallas kernel pass, masks streamed as packed int32 words.
+- only the outer 2*(q-sb) stages (distance >= the 2^sb execution
+  superblock, sb = SUPER_LOG2) pay a cross-block HBM exchange pass each;
+- every other stage — the low-distance cross stages AND the middle 2b-1
+  local stages (the Benes recursion has decomposed the problem into
+  independent subproblems by then) — runs fused in chunked Pallas VMEM
+  kernels as static shuffles, masks streamed as packed int32 words.
 
 Routing bits come from the classic looping algorithm (sequential cycle
 2-coloring): a NumPy/Python reference lives here for tests and small n;
@@ -32,6 +33,7 @@ ds = [q-1, q-2, .., 1, 0, 1, .., q-1]. Stage t exchanges pairs
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -316,31 +318,43 @@ def _local_ds(b: int) -> list[int]:
     return list(range(b - 1, -1, -1)) + list(range(1, b))
 
 
-def _local_kernel_unrolled(words_ref, v_ref, vo_ref, *, b: int, j_lo: int,
-                           j_hi: int, reverse: bool, interpret: bool):
-    """Local stages j_lo..j_hi fused in VMEM (j indexes the APPLY order;
-    reverse reads the mask bits back-to-front — the distance list is a
-    palindrome so ds stays the same). Unrolled: one specialized shuffle per
-    stage; compile time scales with stages x sublane tiles, callers chunk."""
-    R = v_ref.shape[0]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
-    ds = _local_ds(b)
-    n_local = len(ds)
-    vo_ref[:] = v_ref[:]
-    for j in range(j_lo, j_hi + 1):
-        d = ds[j]
-        jb = (n_local - 1 - j) if reverse else j
-        sel = (jnp.right_shift(words_ref[jb // 32], jb % 32) & 1) == 1
-        v = vo_ref[:]
-        if d >= 7:
-            vo_ref[:] = _row_exchange(v, sel, d)
-        else:
-            vo_ref[:] = _lane_exchange(v, sel, d, lane, interpret)
-
-
 # compile-time guard: stages per unrolled kernel (the remote Mosaic
 # compiler slows dramatically beyond ~50-80 unrolled whole-block stages)
-LOCAL_CHUNK = 18
+LOCAL_CHUNK = int(os.environ.get("NFFT_BENES_CHUNK", "18"))
+
+# execution superblock (unrolled mode): stages with distance < 2^SUPER_LOG2
+# run fused in VMEM regardless of the PACKING split ``block_log2`` — the
+# cw/lw layout is a shipping detail; fusing low-distance CROSS stages into
+# the local kernels turns 2*(SUPER_LOG2 - block_log2) full HBM exchange
+# passes into in-VMEM shuffles. 2^21 f32 = 8 MB value blocks (+ word
+# blocks) double-buffer inside the 100 MB VMEM budget.
+SUPER_LOG2 = 21
+
+
+def _fused_stages_kernel(*refs, ops, use_c, use_l, interpret: bool):
+    """A chunk of consecutive stages fused in VMEM on one superblock.
+
+    ``ops`` is a static tuple of (kind, d, word_row, bit): kind "c" reads
+    the swap bit from the cross-words ref, "l" from the local-words ref;
+    every distance satisfies 2^(d+1) <= superblock size so the exchange is
+    a static in-block shuffle."""
+    i = 0
+    c_ref = refs[i] if use_c else None
+    i += int(use_c)
+    l_ref = refs[i] if use_l else None
+    i += int(use_l)
+    v_ref, out_ref = refs[i], refs[i + 1]
+    R = v_ref.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+    out_ref[:] = v_ref[:]
+    for kind, d, row, bit in ops:
+        wr = c_ref if kind == "c" else l_ref
+        sel = (jnp.right_shift(wr[row], bit) & 1) == 1
+        v = out_ref[:]
+        if d >= 7:
+            out_ref[:] = _row_exchange(v, sel, d)
+        else:
+            out_ref[:] = _lane_exchange(v, sel, d, lane, interpret)
 
 
 def _local_kernel_loop(ds_ref, words_ref, v_ref, vo_ref, *, b: int,
@@ -379,18 +393,23 @@ def _local_kernel_loop(ds_ref, words_ref, v_ref, vo_ref, *, b: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_log2", "reverse", "interpret", "mode"),
+    static_argnames=("block_log2", "reverse", "interpret", "mode",
+                     "super_log2"),
 )
 def apply_benes(vals, cross_words, local_words, *,
                 block_log2: int = DEFAULT_BLOCK_LOG2,
                 reverse: bool = False, interpret: bool = False,
-                mode: str = "unrolled"):
+                mode: str = "unrolled", super_log2: int = SUPER_LOG2):
     """Push ``vals`` (n = 2^q, f32/i32) through a routed Benes network.
 
     Forward gives ``out[perm[i]] = vals[i]`` for the routed permutation;
     ``reverse=True`` runs the stages back-to-front and applies the INVERSE
     permutation with the same masks. ``mode``: "unrolled" (default),
     "loop" (compile-light), or "xla" (no Pallas — reference path).
+    ``super_log2``: execution superblock of the unrolled mode — every
+    stage with distance < 2^super_log2 runs fused in VMEM (see
+    :data:`SUPER_LOG2`); only the 2*(q - super_log2) outermost stages pay
+    a cross-block HBM pass.
     """
     n = vals.shape[0]
     q = n.bit_length() - 1
@@ -401,6 +420,12 @@ def apply_benes(vals, cross_words, local_words, *,
     R = (1 << b) // LANES
     G = n // (1 << b)
     use_pallas = mode != "xla" and not interpret
+    if mode == "unrolled":
+        return _apply_benes_super(
+            vals, cross_words, local_words, q=q, b=b,
+            sb=max(b, min(q, super_log2)), reverse=reverse,
+            interpret=interpret,
+        )
 
     # phase bit indices: forward entry t -> bit t, exit t -> bit qc + t;
     # reverse swaps and mirrors the two cross phases
@@ -449,7 +474,7 @@ def apply_benes(vals, cross_words, local_words, *,
             jb = (n_local - 1 - j) if reverse else j
             vals = _cross_stage_xla(vals, local_words, jb // 32, jb % 32, d)
         v2 = vals.reshape(G * R, LANES)
-    elif mode == "loop":
+    else:  # mode == "loop"
         ds = jnp.asarray(_local_ds(b), jnp.int32)
         v2 = pl.pallas_call(
             functools.partial(_local_kernel_loop, b=b, n_stages=n_local,
@@ -458,20 +483,95 @@ def apply_benes(vals, cross_words, local_words, *,
             input_output_aliases={2: 0},
             **common,
         )(ds, w3, v2)
-    else:
-        for j_lo in range(0, n_local, LOCAL_CHUNK):
-            j_hi = min(j_lo + LOCAL_CHUNK, n_local) - 1
-            v2 = pl.pallas_call(
-                functools.partial(_local_kernel_unrolled, b=b, j_lo=j_lo,
-                                  j_hi=j_hi, reverse=reverse,
-                                  interpret=interpret),
-                in_specs=[wspec, spec],
-                input_output_aliases={1: 0},
-                **common,
-            )(w3, v2)
     vals = v2.reshape(n)
 
     return cross_phase(vals, phase3=True)
+
+
+def _apply_benes_super(vals, cross_words, local_words, *, q: int, b: int,
+                       sb: int, reverse: bool, interpret: bool):
+    """Unrolled-mode execution over superblocks of 2^sb elements.
+
+    Stage order is ALWAYS entry-cross (d = q-1..b), locals (b-1..0..b-1),
+    exit-cross (b..q-1) — the distance list is a palindrome, so reverse
+    only remaps which packed bit drives each position. Stages with
+    d < sb form one contiguous run in the middle; they execute as chunked
+    fused VMEM kernels (static shuffles), and only the 2*(q - sb)
+    outermost stages pay a cross-block HBM pass each."""
+    n = vals.shape[0]
+    qc = q - b
+    n_local = 2 * b - 1
+    Rs = (1 << sb) // LANES
+    Gs = n // (1 << sb)
+
+    def entry_bit(t):  # phase3=False bit index (see pack_masks layout)
+        return t if not reverse else (2 * qc - 1 - t)
+
+    def exit_bit(t):  # phase3=True
+        return (qc + t) if not reverse else (qc - 1 - t)
+
+    def local_bit(j):
+        return j if not reverse else (n_local - 1 - j)
+
+    # middle ops: every stage with d < sb, in network order
+    ops = []
+    for t in range(q - sb, qc):  # entry tail: d = sb-1 .. b
+        cbit = entry_bit(t)
+        ops.append(("c", q - 1 - t, cbit // 32, cbit % 32))
+    for j, d in enumerate(_local_ds(b)):
+        jb = local_bit(j)
+        ops.append(("l", d, jb // 32, jb % 32))
+    for t in range(sb - b):  # exit head: d = b .. sb-1
+        cbit = exit_bit(t)
+        ops.append(("c", b + t, cbit // 32, cbit % 32))
+
+    v2 = vals.reshape(Gs * Rs, LANES)
+    w3c = cross_words.reshape(cross_words.shape[0], Gs * Rs, LANES)
+    w3l = local_words.reshape(local_words.shape[0], Gs * Rs, LANES)
+    spec = pl.BlockSpec((Rs, LANES), lambda g: (g, 0))
+    cwspec = pl.BlockSpec(
+        (cross_words.shape[0], Rs, LANES), lambda g: (0, g, 0)
+    )
+    lwspec = pl.BlockSpec(
+        (local_words.shape[0], Rs, LANES), lambda g: (0, g, 0)
+    )
+    common = dict(
+        grid=(Gs,),
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(v2.shape, v2.dtype),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )
+
+    def outer(vals, phase3: bool):
+        # cross stages with d >= sb: one cross-block pass each
+        for t in (range(sb - b, qc) if phase3 else range(q - sb)):
+            d = (b + t) if phase3 else (q - 1 - t)
+            cbit = exit_bit(t) if phase3 else entry_bit(t)
+            vals = _cross_stage_pallas(
+                vals.reshape(Gs * Rs, LANES), w3c, cbit // 32, cbit % 32,
+                (1 << d) >> sb, Rs, interpret,
+            ).reshape(n)
+        return vals
+
+    vals = outer(vals, phase3=False)
+    v2 = vals.reshape(Gs * Rs, LANES)
+    for c_lo in range(0, len(ops), LOCAL_CHUNK):
+        chunk = tuple(ops[c_lo : c_lo + LOCAL_CHUNK])
+        use_c = any(k == "c" for k, *_ in chunk)
+        use_l = any(k == "l" for k, *_ in chunk)
+        in_specs = ([cwspec] if use_c else []) + ([lwspec] if use_l else [])
+        args = ([w3c] if use_c else []) + ([w3l] if use_l else [])
+        v2 = pl.pallas_call(
+            functools.partial(_fused_stages_kernel, ops=chunk, use_c=use_c,
+                              use_l=use_l, interpret=interpret),
+            in_specs=in_specs + [spec],
+            input_output_aliases={len(in_specs): 0},
+            **common,
+        )(*args, v2)
+    return outer(v2.reshape(n), phase3=True)
 
 
 # ---------------------------------------------------------------------------
@@ -485,13 +585,21 @@ class BenesTables:
 
     Forward apply scatters user-order values (plus zero padding) into slot
     order; reverse apply is the inverse (slot -> user). One mask set serves
-    both (see the packing note above)."""
+    both (see the packing note above).
 
-    def __init__(self, cross_words, local_words, n: int, b: int):
+    ``pair_bits`` optionally keeps the router's minimal per-pair packed
+    bits on the HOST (~n bits/stage) so :func:`ops.plan_io.save_plan` can
+    persist the routing without re-running the sequential router; like
+    ``BinnedPlan.order`` it is not a pytree child and is dropped by pytree
+    round-trips."""
+
+    def __init__(self, cross_words, local_words, n: int, b: int,
+                 pair_bits=None):
         self.cross_words = cross_words
         self.local_words = local_words
         self.n = int(n)  # padded length 2^q
         self.b = int(b)
+        self.pair_bits = pair_bits  # host np.ndarray | None
 
     def tree_flatten(self):
         return (self.cross_words, self.local_words), (self.n, self.b)
@@ -521,7 +629,19 @@ def route_tables(perm_ext: np.ndarray, *,
         cw, lw = pack_masks(route_benes_np(perm_ext), q, b)
         return BenesTables(jnp.asarray(cw), jnp.asarray(lw), n, b)
     cw, lw = expand_pair_bits(jnp.asarray(bits.view(np.int32)), q, b)
-    return BenesTables(cw, lw, n, b)
+    return BenesTables(cw, lw, n, b, pair_bits=np.asarray(bits))
+
+
+def tables_from_pair_bits(bits: np.ndarray, n: int,
+                          block_log2: int = DEFAULT_BLOCK_LOG2) -> BenesTables:
+    """Rebuild :class:`BenesTables` from persisted per-pair packed bits
+    (the ``save_plan`` payload) — device expansion only, no routing."""
+    q = int(n).bit_length() - 1
+    if (1 << q) != n:
+        raise ValueError(f"padded length must be a power of two, got {n}")
+    b = min(q, block_log2)
+    cw, lw = expand_pair_bits(jnp.asarray(bits.view(np.int32)), q, b)
+    return BenesTables(cw, lw, n, b, pair_bits=np.asarray(bits))
 
 
 def plan_benes_tables(plan, *,

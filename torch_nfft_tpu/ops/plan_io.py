@@ -70,6 +70,15 @@ def save_plan(path, plan: BinnedPlan) -> None:
         val = getattr(plan, name)
         if val is not None:
             arrays[name] = np.asarray(val)
+    bt = plan.benes
+    if bt is not None and getattr(bt, "pair_bits", None) is not None:
+        # routed Benes permutation masks: persist the router's minimal
+        # per-pair bit packing (~n bits/stage) so a loaded plan skips the
+        # sequential host routing; the device word layout is re-expanded
+        # on load. Tables built by the small-n NumPy router carry no
+        # pair_bits and are simply rebuilt via with_benes_tables().
+        arrays["benes_bits"] = np.asarray(bt.pair_bits)
+        meta["benes"] = {"n": bt.n, "b": bt.b}
     arrays["__meta__"] = np.frombuffer(
         json.dumps(meta).encode("utf-8"), dtype=np.uint8
     )
@@ -115,6 +124,14 @@ def load_plan(path) -> BinnedPlan:
     if active is not None:
         # JSON flattens the ((start, num), ...) per-axis tuples into lists.
         active = tuple(tuple(int(v) for v in pair) for pair in active)
+    benes = None
+    if "benes_bits" in raw:
+        from .pallas.benes import tables_from_pair_bits
+
+        bmeta = meta["benes"]
+        benes = tables_from_pair_bits(
+            raw["benes_bits"], int(bmeta["n"]), block_log2=int(bmeta["b"])
+        )
     return BinnedPlan(
         **leaves,
         n=int(meta["n"]),
@@ -132,4 +149,5 @@ def load_plan(path) -> BinnedPlan:
         active=active,
         order=host["order"],
         row_start=host["row_start"],
+        benes=benes,
     )
