@@ -206,7 +206,7 @@ def main():
         # keeps the sort path (plan build ~8 s instead).
         if os.environ.get("BENCH_BENES", "1") != "0":
             t0 = time.perf_counter()
-            plan = plan.with_benes_tables()
+            plan = plan.with_benes_tables(pos=pos_np)
             jax.block_until_ready(plan.benes.local_words)
             t_benes = time.perf_counter() - t0
             _log(f"benes permutation tables in {t_benes:.1f}s "

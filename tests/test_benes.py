@@ -151,3 +151,126 @@ def test_plan_with_benes_matches_sort_path_exactly(rng):
     yg = tn.nfft_forward(want, jnp.asarray(pos), jnp.asarray(batch),
                          cutoff=m, plan=plan_b, strategy="binned")
     np.testing.assert_array_equal(np.asarray(yg), np.asarray(yw))
+
+
+def test_plan_with_benes_slot_space_matches_sort_path(rng):
+    """compact=False keeps the legacy padded-slot-space network; it must
+    still match the sort path bit-for-bit."""
+    import torch_nfft_tpu as tn
+    from torch_nfft_tpu.ops.binned import build_plan
+
+    n, dim, N, m = 700, 2, 16, 3
+    pos = (np.random.default_rng(5).random((n, dim)) - 0.5).astype(np.float32)
+    pos /= 4 * np.abs(pos).max()
+    batch = np.zeros((n,), np.int32)
+    x = np.random.default_rng(6).standard_normal((n, 1)).astype(np.float32)
+
+    plan = build_plan(pos, batch, N=N, m=m, batch_size=1)
+    plan_b = plan.with_benes_tables(block_log2=9, compact=False)
+    assert plan_b.benes.compact is False
+
+    want = tn.nfft_adjoint(jnp.asarray(x), jnp.asarray(pos),
+                           jnp.asarray(batch), batch_size=1, bandwidth=N,
+                           cutoff=m, plan=plan, strategy="binned")
+    got = tn.nfft_adjoint(jnp.asarray(x), jnp.asarray(pos),
+                          jnp.asarray(batch), batch_size=1, bandwidth=N,
+                          cutoff=m, plan=plan_b, strategy="binned")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_device_plan_with_compact_benes_matches_sort_path(rng):
+    """Device-built plans carry no host ``order``; the compact rank
+    permutation is derived from fill_keys + row_count and must reproduce
+    the sort path bit-for-bit (both directions)."""
+    import torch_nfft_tpu as tn
+    from torch_nfft_tpu.ops.binned import build_plan_device
+
+    n, dim, N, m = 600, 2, 16, 3
+    pos = (np.random.default_rng(7).random((n, dim)) - 0.5).astype(np.float32)
+    pos /= 4 * np.abs(pos).max()
+    batch = np.zeros((n,), np.int32)
+    x = np.random.default_rng(8).standard_normal((n, 2)).astype(np.float32)
+
+    plan = build_plan_device(jnp.asarray(pos), jnp.asarray(batch), N=N, m=m,
+                             batch_size=1)
+    assert plan.order is None
+    plan_b = plan.with_benes_tables(block_log2=9)
+    assert plan_b.benes.compact is True
+
+    want = tn.nfft_adjoint(jnp.asarray(x), jnp.asarray(pos),
+                           jnp.asarray(batch), batch_size=1, bandwidth=N,
+                           cutoff=m, plan=plan, strategy="binned")
+    got = tn.nfft_adjoint(jnp.asarray(x), jnp.asarray(pos),
+                          jnp.asarray(batch), batch_size=1, bandwidth=N,
+                          cutoff=m, plan=plan_b, strategy="binned")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    yw = tn.nfft_forward(want, jnp.asarray(pos), jnp.asarray(batch),
+                         cutoff=m, plan=plan, strategy="binned")
+    yg = tn.nfft_forward(want, jnp.asarray(pos), jnp.asarray(batch),
+                         cutoff=m, plan=plan_b, strategy="binned")
+    np.testing.assert_array_equal(np.asarray(yg), np.asarray(yw))
+
+
+def test_host_rank_derivation_matches_device_plan(rng):
+    """Host-side rank derivation (host_rank_permutation) reproduces the
+    device plan's rank exactly — fingerprints agree — and the resulting
+    compact tables match the sort path, including a multi-batch plan."""
+    import torch_nfft_tpu as tn
+    from torch_nfft_tpu.ops.binned import build_plan_device
+    from torch_nfft_tpu.ops.pallas.benes import (
+        device_rank_hash,
+        host_rank_permutation,
+        rank_hash_np,
+    )
+
+    n, dim, N, m, B = 900, 3, 16, 2, 3
+    r = np.random.default_rng(9)
+    pos = (r.random((n, dim)) - 0.5).astype(np.float32)
+    pos /= 4 * np.abs(pos).max()
+    batch = np.sort(r.integers(0, B, size=n)).astype(np.int32)
+    x = r.standard_normal((n, 1)).astype(np.float32)
+
+    plan = build_plan_device(jnp.asarray(pos), jnp.asarray(batch), N=N, m=m,
+                             batch_size=B)
+    rank = host_rank_permutation(plan, pos, batch)
+    assert rank_hash_np(rank) == device_rank_hash(plan)
+
+    plan_b = plan.with_benes_tables(block_log2=9, pos=pos, batch=batch)
+    want = tn.nfft_adjoint(jnp.asarray(x), jnp.asarray(pos),
+                           jnp.asarray(batch), batch_size=B, bandwidth=N,
+                           cutoff=m, plan=plan, strategy="binned")
+    got = tn.nfft_adjoint(jnp.asarray(x), jnp.asarray(pos),
+                          jnp.asarray(batch), batch_size=B, bandwidth=N,
+                          cutoff=m, plan=plan_b, strategy="binned")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_plan_with_benes_matches_sort_path_multicolumn(rng):
+    """Multi-column (C=3) transforms through a benes-upgraded plan run the
+    network once per column and must match the sort path bit-for-bit."""
+    import torch_nfft_tpu as tn
+    from torch_nfft_tpu.ops.binned import build_plan
+
+    n, dim, N, m, C = 500, 2, 16, 3, 3
+    pos = (np.random.default_rng(3).random((n, dim)) - 0.5).astype(np.float32)
+    pos /= 4 * np.abs(pos).max()
+    batch = np.zeros((n,), np.int32)
+    x = np.random.default_rng(4).standard_normal((n, C)).astype(np.float32)
+
+    plan = build_plan(pos, batch, N=N, m=m, batch_size=1)
+    plan_b = plan.with_benes_tables(block_log2=9)
+
+    want = tn.nfft_adjoint(jnp.asarray(x), jnp.asarray(pos),
+                           jnp.asarray(batch), batch_size=1, bandwidth=N,
+                           cutoff=m, plan=plan, strategy="binned")
+    got = tn.nfft_adjoint(jnp.asarray(x), jnp.asarray(pos),
+                          jnp.asarray(batch), batch_size=1, bandwidth=N,
+                          cutoff=m, plan=plan_b, strategy="binned")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    yw = tn.nfft_forward(want, jnp.asarray(pos), jnp.asarray(batch),
+                         cutoff=m, plan=plan, strategy="binned")
+    yg = tn.nfft_forward(want, jnp.asarray(pos), jnp.asarray(batch),
+                         cutoff=m, plan=plan_b, strategy="binned")
+    np.testing.assert_array_equal(np.asarray(yg), np.asarray(yw))

@@ -74,6 +74,7 @@ def test_round_trip_preserves_benes_routing(rng, tmp_path):
 
     assert loaded.benes is not None
     assert (loaded.benes.n, loaded.benes.b) == (plan.benes.n, plan.benes.b)
+    assert loaded.benes.compact == plan.benes.compact
     np.testing.assert_array_equal(
         np.asarray(loaded.benes.cross_words), np.asarray(plan.benes.cross_words)
     )

@@ -131,9 +131,10 @@ class BinnedPlan:
     order: object = None  # (n,) int32 np.ndarray
     row_start: object = None  # (S,) int32 np.ndarray
     # optional routed Benes masks for the slot permutation (built once via
-    # with_benes_tables(); C == 1 transforms then apply the user<->slot
-    # permutations in 2*log2(n)-1 masked exchange stages, ~3x faster than
-    # the lax.sort path — see ops/pallas/benes.py)
+    # with_benes_tables(); transforms then apply the user<->slot
+    # permutations in 2*log2(n)-1 masked exchange stages — one network pass
+    # per trailing column — ~3x faster than the lax.sort path per column;
+    # see ops/pallas/benes.py)
     benes: object = None  # BenesTables | None (pytree child)
 
     @property
@@ -175,15 +176,25 @@ class BinnedPlan:
     def tree_unflatten(cls, aux, children):
         return cls(*children[:6], *aux, benes=children[6])
 
-    def with_benes_tables(self, block_log2: int = 18) -> "BinnedPlan":
+    def with_benes_tables(self, block_log2: int = 18, compact: bool = True,
+                          pos=None, batch=None) -> "BinnedPlan":
         """A copy of this plan carrying routed Benes permutation masks
         (ops/pallas/benes.py). One-time host routing + bit upload;
-        transforms with one trailing column then run the user<->slot
-        permutations ~3x faster than the sort path."""
+        transforms then run the user<->slot permutations (one network pass
+        per trailing column) ~3x faster than the sort path. ``compact``
+        (default) routes the n-point rank space and streams it to/from the
+        padded slot layout with the ragged kernels (ops/pallas/ragged.py)
+        — roughly half the network work of the padded slot space.
+
+        For DEVICE-built plans pass the host ``pos`` (and ``batch``) NumPy
+        arrays: the rank permutation is then derived on the host
+        (fingerprint-verified against the plan) instead of pulling an O(n)
+        table over a possibly slow host link."""
         from .pallas.benes import plan_benes_tables
 
         return replace(self, benes=plan_benes_tables(
-            self, block_log2=block_log2))
+            self, block_log2=block_log2, compact=compact, pos=pos,
+            batch=batch))
 
 
 def position_fingerprint(pos, M: int, m: int) -> int:

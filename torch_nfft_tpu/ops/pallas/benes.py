@@ -587,6 +587,11 @@ class BenesTables:
     order; reverse apply is the inverse (slot -> user). One mask set serves
     both (see the packing note above).
 
+    ``compact`` tags which space the network routes: ``True`` = the compact
+    rank space (n points, expanded to padded slots by ops/pallas/ragged.py
+    — half the elements and one level shallower than the slot space at the
+    3D headline), ``False`` = the padded slot space S*K (legacy).
+
     ``pair_bits`` optionally keeps the router's minimal per-pair packed
     bits on the HOST (~n bits/stage) so :func:`ops.plan_io.save_plan` can
     persist the routing without re-running the sequential router; like
@@ -594,15 +599,17 @@ class BenesTables:
     round-trips."""
 
     def __init__(self, cross_words, local_words, n: int, b: int,
-                 pair_bits=None):
+                 compact: bool = False, pair_bits=None):
         self.cross_words = cross_words
         self.local_words = local_words
         self.n = int(n)  # padded length 2^q
         self.b = int(b)
+        self.compact = bool(compact)
         self.pair_bits = pair_bits  # host np.ndarray | None
 
     def tree_flatten(self):
-        return (self.cross_words, self.local_words), (self.n, self.b)
+        return (self.cross_words, self.local_words), (self.n, self.b,
+                                                      self.compact)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -610,7 +617,8 @@ class BenesTables:
 
 
 def route_tables(perm_ext: np.ndarray, *,
-                 block_log2: int = DEFAULT_BLOCK_LOG2) -> BenesTables:
+                 block_log2: int = DEFAULT_BLOCK_LOG2,
+                 compact: bool = False) -> BenesTables:
     """Route an extended permutation (host NumPy, length 2^q) and ship the
     packed per-pair bits (~n bits/stage — the minimal payload for slow
     host->device links); masks are expanded to the kernels' word layout on
@@ -627,13 +635,16 @@ def route_tables(perm_ext: np.ndarray, *,
         bits = benes_route(perm_ext)
     if bits is None:  # native unavailable or tiny input: NumPy router
         cw, lw = pack_masks(route_benes_np(perm_ext), q, b)
-        return BenesTables(jnp.asarray(cw), jnp.asarray(lw), n, b)
+        return BenesTables(jnp.asarray(cw), jnp.asarray(lw), n, b,
+                           compact=compact)
     cw, lw = expand_pair_bits(jnp.asarray(bits.view(np.int32)), q, b)
-    return BenesTables(cw, lw, n, b, pair_bits=np.asarray(bits))
+    return BenesTables(cw, lw, n, b, compact=compact,
+                       pair_bits=np.asarray(bits))
 
 
 def tables_from_pair_bits(bits: np.ndarray, n: int,
-                          block_log2: int = DEFAULT_BLOCK_LOG2) -> BenesTables:
+                          block_log2: int = DEFAULT_BLOCK_LOG2,
+                          compact: bool = False) -> BenesTables:
     """Rebuild :class:`BenesTables` from persisted per-pair packed bits
     (the ``save_plan`` payload) — device expansion only, no routing."""
     q = int(n).bit_length() - 1
@@ -641,27 +652,164 @@ def tables_from_pair_bits(bits: np.ndarray, n: int,
         raise ValueError(f"padded length must be a power of two, got {n}")
     b = min(q, block_log2)
     cw, lw = expand_pair_bits(jnp.asarray(bits.view(np.int32)), q, b)
-    return BenesTables(cw, lw, n, b, pair_bits=np.asarray(bits))
+    return BenesTables(cw, lw, n, b, compact=compact,
+                       pair_bits=np.asarray(bits))
 
 
-def plan_benes_tables(plan, *,
-                      block_log2: int = DEFAULT_BLOCK_LOG2) -> BenesTables:
-    """Tables for a :class:`BinnedPlan`'s fill permutation.
+def host_rank_permutation(plan, pos, batch=None) -> np.ndarray:
+    """user -> rank (np.int32, length n) derived entirely on the HOST.
 
-    Pulls ``plan.fill_keys`` to the host (the looping algorithm is
-    inherently sequential — it runs in native C++), extends it with an
-    identity tail to the next power of two, routes, and ships the packed
-    bits back. One-time cost per plan: at the 3D headline (S*K = 18M ->
-    2^25) roughly a fill_keys pull + ~57 s routing on a 1-core host +
-    a ~103 MB bit upload; amortized across every subsequent transform,
-    which saves ~120 ms/pair (see BASELINE.md).
+    Replicates the device builder's binning bit-for-bit (same f32 multiply,
+    floor, int32 mod/divide — see binned._sorted_bins_device) and takes the
+    stable-sort rank: any two stable ascending sorts of the same keys agree
+    exactly, so this equals the device plan's rank without pulling an O(n)
+    table over the host link. Callers MUST verify the result against the
+    device plan (see :func:`rank_hash_np` / :func:`device_rank_hash`) —
+    a single point binned differently (a non-IEEE f32 corner) would
+    silently corrupt every transform."""
+    pos = np.asarray(pos, dtype=np.float32)
+    n = pos.shape[0]
+    M, m, T = plan.M, plan.m, plan.T
+    nb = -(-M // T)
+    s_mod = (np.floor(pos * np.float32(M)).astype(np.int32) - m) % M
+    b = s_mod // T
+    if batch is None:
+        bid = np.zeros((n,), np.int32)
+    else:
+        bid = np.asarray(batch, dtype=np.int32).copy()
+    for d in range(pos.shape[1]):
+        bid = bid * nb + b[:, d]
+    order = np.argsort(bid, kind="stable")
+    rank = np.empty(n, np.int32)
+    rank[order] = np.arange(n, dtype=np.int32)
+    return rank
+
+
+def rank_hash_np(rank: np.ndarray):
+    """Order-independent 2x32-bit fingerprint of a rank permutation (mod-2^32
+    weighted sums — identical wraparound semantics on host and device)."""
+    r = rank.astype(np.uint32) + np.uint32(1)
+    i = np.arange(r.size, dtype=np.uint32)
+    w1 = i * np.uint32(2654435761) + np.uint32(40503)
+    w2 = i * np.uint32(2246822519) + np.uint32(10369)
+    f1 = int(np.sum(r * w1, dtype=np.uint32))
+    f2 = int(np.sum((r ^ w2) * np.uint32(374761393), dtype=np.uint32))
+    return f1, f2
+
+
+@functools.partial(jax.jit, static_argnames=("K", "n"))
+def _device_rank_hash_jit(fill_keys, row_count, *, K: int, n: int):
+    rs = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(row_count, dtype=jnp.int32)[:-1]]
+    )
+    head = fill_keys[:n]
+    rank = jnp.take(rs, head // K) + head % K
+    r = rank.astype(jnp.uint32) + jnp.uint32(1)
+    i = jnp.arange(n, dtype=jnp.uint32)
+    w1 = i * jnp.uint32(2654435761) + jnp.uint32(40503)
+    w2 = i * jnp.uint32(2246822519) + jnp.uint32(10369)
+    f1 = jnp.sum(r * w1, dtype=jnp.uint32)
+    f2 = jnp.sum((r ^ w2) * jnp.uint32(374761393), dtype=jnp.uint32)
+    return f1, f2
+
+
+def device_rank_hash(plan):
+    """The device plan's own rank fingerprint (two scalar pulls)."""
+    S, K = plan.slot_pt.shape
+    f1, f2 = _device_rank_hash_jit(plan.fill_keys, plan.row_count,
+                                   K=K, n=plan.n)
+    return int(f1), int(f2)
+
+
+def plan_benes_tables(plan, *, block_log2: int = DEFAULT_BLOCK_LOG2,
+                      compact: bool = True, pos=None,
+                      batch=None) -> BenesTables:
+    """Tables for a :class:`BinnedPlan`'s user<->slot permutation.
+
+    ``compact=True`` (default) routes the COMPACT RANK permutation — user
+    point i to its rank in the plan's sorted order (the inverse of
+    ``plan.order``), padded to 2^ceil(log2 n). The padded slot stream is
+    produced/consumed by the ragged expand/compact passes
+    (ops/pallas/ragged.py), so the network moves exactly the points: at the
+    3D headline that is a 2^24 network instead of the 2^25 the padded slot
+    space needs — half the payload per stage, two stages shallower, and
+    half the routing/upload cost. Host-built plans take the rank directly
+    from ``plan.order``; device-built plans (no host order copy) derive it
+    from the head of ``fill_keys`` — an n-element pull, still smaller than
+    the S*K-element slot-space pull.
+
+    ``compact=False`` routes the legacy slot-space permutation
+    ``plan.fill_keys`` (length S*K, padded to the next power of two).
+
+    The routing itself is sequential cycle 2-coloring (native C++; see
+    csrc/benes_router.cpp); one-time cost per plan, amortized across every
+    subsequent transform (see BASELINE.md).
     """
     S, K = plan.slot_pt.shape
+    if compact:
+        n = plan.n
+        # 2^q >= K guarantees the compact stream blocks (NB*K <= 2^q) tile
+        # the network output exactly (K is a power of two)
+        q = max(6, int(max(n, K) - 1).bit_length())
+        npad = 1 << q
+        perm_ext = np.empty(npad, dtype=np.int32)
+        perm_ext[:n] = _plan_rank(plan, pos, batch)
+        perm_ext[n:] = np.arange(n, npad, dtype=np.int32)
+        return route_tables(perm_ext, block_log2=block_log2, compact=True)
+    # slot space: the fill permutation [point -> slot, padding -> invalid
+    # slots], reconstructed on the HOST from the rank + the tiny (S,) row
+    # tables — same construction as binned._assemble_plan_device, no S*K
+    # fill_keys pull
+    n = plan.n
     n_slots = S * K
     q = max(6, int(n_slots - 1).bit_length())
     npad = 1 << q
-    fk = np.asarray(plan.fill_keys)  # device -> host pull
+    rank = _plan_rank(plan, pos, batch)
+    row_count = np.asarray(plan.row_count, dtype=np.int32)
+    row_start = np.concatenate(
+        [np.zeros(1, np.int64), np.cumsum(row_count, dtype=np.int64)[:-1]]
+    )
+    row = np.searchsorted(row_start, rank, side="right") - 1
+    slot = (row.astype(np.int64) * K + (rank - row_start[row])).astype(
+        np.int32)
+    k_ar = np.arange(K, dtype=np.int32)[None, :]
+    invalid = np.flatnonzero(
+        (k_ar >= row_count[:, None]).reshape(-1)
+    ).astype(np.int32)
     perm_ext = np.concatenate(
-        [fk, np.arange(n_slots, npad, dtype=np.int32)]
+        [slot, invalid, np.arange(n_slots, npad, dtype=np.int32)]
     )
     return route_tables(perm_ext, block_log2=block_log2)
+
+
+def _plan_rank(plan, pos=None, batch=None) -> np.ndarray:
+    """user -> rank (np.int32, length n): from the host ``order`` when the
+    plan carries one, else derived from host positions (fingerprint-verified
+    against the device plan), else pulled from the device fill_keys head."""
+    n = plan.n
+    S, K = plan.slot_pt.shape
+    if plan.order is not None:
+        order = np.asarray(plan.order, dtype=np.int64)
+        rank = np.empty(n, np.int32)
+        rank[order] = np.arange(n, dtype=np.int32)
+        return rank
+    if pos is not None:
+        cand = host_rank_permutation(plan, pos, batch)
+        if rank_hash_np(cand) == device_rank_hash(plan):
+            return cand
+        import warnings  # pragma: no cover - defensive (f32 corner)
+
+        warnings.warn(
+            "host-derived rank permutation disagrees with the device plan "
+            "(binning mismatch); falling back to the device fill_keys pull",
+            RuntimeWarning)
+    # rank[i] = row_start[slot_i // K] + slot_i % K with slot_i the point's
+    # flat destination slot (head of fill_keys) — rows tile [0, n)
+    # contiguously in plan order (see ops/pallas/ragged.py)
+    slot_head = np.asarray(plan.fill_keys[:n], dtype=np.int64)
+    row_count = np.asarray(plan.row_count, dtype=np.int64)
+    row_start = np.concatenate(
+        [np.zeros(1, np.int64), np.cumsum(row_count)[:-1]]
+    )
+    return (row_start[slot_head // K] + slot_head % K).astype(np.int32)

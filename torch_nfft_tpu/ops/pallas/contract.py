@@ -502,15 +502,37 @@ def _slot_values(plan, x):
     S, K = plan.slot_pt.shape
     n, C = x.shape
     bt = getattr(plan, "benes", None)
-    if bt is not None and C == 1:
+    if bt is not None:
         from .benes import apply_benes
 
-        v = jnp.concatenate(
-            [x[:, 0], jnp.zeros((bt.n - n,), x.dtype)]
-        )
-        out = apply_benes(v, bt.cross_words, bt.local_words,
-                          block_log2=bt.b, interpret=_interpret())
-        return out[: S * K][None, :]
+        interp = _interpret()
+        compact = getattr(bt, "compact", False)
+        if compact:
+            # compact tables route user -> RANK (n points, not S*K slots);
+            # the padded slot layout is produced by one ragged expansion
+            # pass per column (ops/pallas/ragged.py)
+            from .ragged import expand_rows, row_start_from_counts
+
+            rs = row_start_from_counts(plan.row_count)
+            need = ((n - 1) // K + 2) * K  # expand_rows input length
+        cols = []
+        for c in range(C):
+            v = jnp.concatenate(
+                [x[:, c], jnp.zeros((bt.n - n,), x.dtype)]
+            )
+            out = apply_benes(v, bt.cross_words, bt.local_words,
+                              block_log2=bt.b, interpret=interp)
+            if compact:
+                if out.shape[0] < need:
+                    out = jnp.concatenate(
+                        [out, jnp.zeros((need - out.shape[0],), out.dtype)]
+                    )
+                padded = expand_rows(out[:need], rs, plan.row_count, K=K,
+                                     interpret=interp)
+                cols.append(padded.reshape(-1))
+            else:
+                cols.append(out[: S * K])
+        return jnp.stack(cols, axis=0)
     pad = jnp.zeros((S * K - n, C), x.dtype)
     vals = jnp.concatenate([x, pad], axis=0)
     sorted_ops = jax.lax.sort(
@@ -532,16 +554,37 @@ def _unslot_values(plan, out_flat, n):
     S, K = plan.slot_pt.shape
     C = out_flat.shape[1]
     bt = getattr(plan, "benes", None)
-    if bt is not None and C == 1:
+    if bt is not None:
         from .benes import apply_benes
 
-        v = jnp.concatenate(
-            [out_flat[:, 0], jnp.zeros((bt.n - S * K,), out_flat.dtype)]
-        )
-        out = apply_benes(v, bt.cross_words, bt.local_words,
-                          block_log2=bt.b, reverse=True,
-                          interpret=_interpret())
-        return out[:n, None]
+        interp = _interpret()
+        compact = getattr(bt, "compact", False)
+        if compact:
+            # compact the padded slot rows to the rank stream first (the
+            # ragged pass drops invalid lanes), then run the rank network
+            # in reverse to reach user order
+            from .ragged import compact_rows, row_start_from_counts
+
+            rs = row_start_from_counts(plan.row_count)
+        cols = []
+        for c in range(C):
+            if compact:
+                stream = compact_rows(out_flat[:, c].reshape(S, K), rs,
+                                      plan.row_count, n, interpret=interp)
+                v = jnp.concatenate(
+                    [stream,
+                     jnp.zeros((bt.n - stream.shape[0],), out_flat.dtype)]
+                )
+            else:
+                v = jnp.concatenate(
+                    [out_flat[:, c],
+                     jnp.zeros((bt.n - S * K,), out_flat.dtype)]
+                )
+            out = apply_benes(v, bt.cross_words, bt.local_words,
+                              block_log2=bt.b, reverse=True,
+                              interpret=interp)
+            cols.append(out[:n])
+        return jnp.stack(cols, axis=1)
     k_iota = jnp.arange(K, dtype=jnp.int32)[None, :]
     valid = k_iota < plan.row_count[:, None]
     keys = jnp.where(valid, plan.slot_pt, n).reshape(-1)

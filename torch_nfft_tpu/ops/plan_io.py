@@ -78,7 +78,8 @@ def save_plan(path, plan: BinnedPlan) -> None:
         # on load. Tables built by the small-n NumPy router carry no
         # pair_bits and are simply rebuilt via with_benes_tables().
         arrays["benes_bits"] = np.asarray(bt.pair_bits)
-        meta["benes"] = {"n": bt.n, "b": bt.b}
+        meta["benes"] = {"n": bt.n, "b": bt.b,
+                         "compact": bool(getattr(bt, "compact", False))}
     arrays["__meta__"] = np.frombuffer(
         json.dumps(meta).encode("utf-8"), dtype=np.uint8
     )
@@ -130,7 +131,8 @@ def load_plan(path) -> BinnedPlan:
 
         bmeta = meta["benes"]
         benes = tables_from_pair_bits(
-            raw["benes_bits"], int(bmeta["n"]), block_log2=int(bmeta["b"])
+            raw["benes_bits"], int(bmeta["n"]), block_log2=int(bmeta["b"]),
+            compact=bool(bmeta.get("compact", False)),
         )
     return BinnedPlan(
         **leaves,
