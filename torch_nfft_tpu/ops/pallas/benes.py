@@ -488,6 +488,54 @@ def apply_benes(vals, cross_words, local_words, *,
     return cross_phase(vals, phase3=True)
 
 
+def _outer_fused(vals, cross_words, ops, *, q: int, sb: int,
+                 interpret: bool):
+    """ALL cross stages of distance >= 2^sb in ONE chunked Pallas pass.
+
+    View the array as (Go, 2^sb) with Go = n / 2^sb: a stage at distance
+    2^d (d >= sb) pairs rows g and g ^ 2^(d-sb) at the SAME column, so a
+    (Go, C) column chunk holds every partner its elements ever meet across
+    the whole outer phase — one HBM read + word read + write for the lot,
+    instead of one full exchange pass per stage. ``ops`` is the static
+    (d, word_row, bit) sequence in network order."""
+    n = vals.shape[0]
+    Go = n >> sb
+    W = cross_words.shape[0]
+    # column chunk: Go*C f32 <= 8 MB per buffer so in+out+words
+    # double-buffer inside the VMEM budget
+    c_log2 = min(sb, 21 - (q - sb))
+    C = 1 << c_log2
+    G = (1 << sb) // C
+    v2 = vals.reshape(Go, 1 << sb)
+    w3 = cross_words.reshape(W, Go, 1 << sb)
+    spec = pl.BlockSpec((Go, C), lambda g: (0, g))
+    wspec = pl.BlockSpec((W, Go, C), lambda g: (0, 0, g))
+
+    def kern(w_ref, v_ref, out_ref):
+        v = v_ref[:]
+        for d, row, bit in ops:
+            D = 1 << (d - sb)
+            sel = (jnp.right_shift(w_ref[row], bit) & 1) != 0
+            v4 = v.reshape(Go // (2 * D), 2, D, C)
+            vp = jnp.concatenate([v4[:, 1:2], v4[:, 0:1]], 1).reshape(Go, C)
+            v = jnp.where(sel, vp, v)
+        out_ref[:] = v
+
+    out = pl.pallas_call(
+        kern,
+        grid=(G,),
+        in_specs=[wspec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(v2.shape, v2.dtype),
+        input_output_aliases={1: 0},
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(w3, v2)
+    return out.reshape(n)
+
+
 def _apply_benes_super(vals, cross_words, local_words, *, q: int, b: int,
                        sb: int, reverse: bool, interpret: bool):
     """Unrolled-mode execution over superblocks of 2^sb elements.
@@ -496,8 +544,9 @@ def _apply_benes_super(vals, cross_words, local_words, *, q: int, b: int,
     exit-cross (b..q-1) — the distance list is a palindrome, so reverse
     only remaps which packed bit drives each position. Stages with
     d < sb form one contiguous run in the middle; they execute as chunked
-    fused VMEM kernels (static shuffles), and only the 2*(q - sb)
-    outermost stages pay a cross-block HBM pass each."""
+    fused VMEM kernels (static shuffles), and the 2*(q - sb) outermost
+    stages run as ONE fused cross-block pass per side (see
+    :func:`_outer_fused`)."""
     n = vals.shape[0]
     qc = q - b
     n_local = 2 * b - 1
@@ -546,12 +595,19 @@ def _apply_benes_super(vals, cross_words, local_words, *, q: int, b: int,
     )
 
     def outer(vals, phase3: bool):
-        # cross stages with d >= sb: one cross-block pass each
+        # cross stages with d >= sb, in network order
+        ops_o = []
         for t in (range(sb - b, qc) if phase3 else range(q - sb)):
             d = (b + t) if phase3 else (q - 1 - t)
             cbit = exit_bit(t) if phase3 else entry_bit(t)
+            ops_o.append((d, cbit // 32, cbit % 32))
+        if len(ops_o) >= 2 and 21 - (q - sb) >= 7:
+            # one fused cross-block pass for the whole phase
+            return _outer_fused(vals, cross_words, tuple(ops_o), q=q,
+                                sb=sb, interpret=interpret)
+        for d, row, bit in ops_o:  # single stage (or Go too large to tile)
             vals = _cross_stage_pallas(
-                vals.reshape(Gs * Rs, LANES), w3c, cbit // 32, cbit % 32,
+                vals.reshape(Gs * Rs, LANES), w3c, row, bit,
                 (1 << d) >> sb, Rs, interpret,
             ).reshape(n)
         return vals
