@@ -102,6 +102,34 @@ def test_native_router_matches_numpy():
         np.testing.assert_array_equal(masks, route_benes_np(perm))
 
 
+def test_native_router_mlp_path(monkeypatch):
+    """The speculative multi-chain chase (used for levels >= NFFT_BENES_MLP_MIN,
+    normally 2^16) must realize the permutation. Its routing differs from the
+    serial one only by per-cycle flips, so validate by applying, not bit-equality.
+    Regression: interrupted chains' seed output-pair constraints used to be
+    dropped, producing a wrong network (fixed by the reconciliation pass)."""
+    from torch_nfft_tpu.native import benes_route, native_available
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    monkeypatch.setenv("NFFT_BENES_MLP_MIN", "4")
+    monkeypatch.setenv("NFFT_BENES_CHAINS", "16")
+    rng = np.random.default_rng(7)
+    for q in (6, 8, 11, 13):
+        n = 1 << q
+        perm = rng.permutation(n).astype(np.int32)
+        bits = benes_route(perm)
+        masks = unpack_pair_bits_np(bits, q)
+        for t, d in enumerate(stage_distances(q)):
+            m2 = masks[t].reshape(-1, 2, 1 << d)
+            np.testing.assert_array_equal(m2[:, 0], m2[:, 1])
+        x = rng.standard_normal(n).astype(np.float32)
+        out = apply_benes_np(masks, x)
+        ref = np.empty_like(x)
+        ref[perm] = x
+        np.testing.assert_array_equal(out, ref)
+
+
 def test_expand_pair_bits_matches_host_packing():
     from torch_nfft_tpu.native import benes_route, native_available
 
