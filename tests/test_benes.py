@@ -3,6 +3,7 @@ forward/reverse device apply (ops/pallas/benes.py, csrc/benes_router.cpp).
 Interpret mode on CPU; TPU timing lives in examples/probe_benes.py."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -302,3 +303,34 @@ def test_plan_with_benes_matches_sort_path_multicolumn(rng):
     yg = tn.nfft_forward(want, jnp.asarray(pos), jnp.asarray(batch),
                          cutoff=m, plan=plan_b, strategy="binned")
     np.testing.assert_array_equal(np.asarray(yg), np.asarray(yw))
+
+
+def test_grad_through_benes_plan_matches_sort_path(rng):
+    """jax.grad w.r.t. values and positions through an adjoint built on a
+    benes-upgraded plan must match the sort-path gradients bit-for-bit:
+    the VJP engines route through the same _slot/_unslot paths
+    (ops/pallas/contract.py), which dispatch on plan.benes."""
+    import torch_nfft_tpu as tn
+    from torch_nfft_tpu.ops.binned import build_plan
+
+    n, dim, N, m = 520, 2, 16, 3
+    pos = (np.random.default_rng(9).random((n, dim)) - 0.5).astype(np.float32)
+    pos /= 4 * np.abs(pos).max()
+    batch = np.zeros((n,), np.int32)
+    x = np.random.default_rng(10).standard_normal((n, 1)).astype(np.float32)
+
+    plan = build_plan(pos, batch, N=N, m=m, batch_size=1)
+    plan_b = plan.with_benes_tables(block_log2=9)
+
+    def loss(x, pos, plan):
+        y = tn.nfft_adjoint(x, pos, jnp.asarray(batch), batch_size=1,
+                            bandwidth=N, cutoff=m, plan=plan,
+                            strategy="binned")
+        return jnp.sum(jnp.abs(y) ** 2)
+
+    gx_w, gp_w = jax.grad(loss, argnums=(0, 1))(
+        jnp.asarray(x), jnp.asarray(pos), plan)
+    gx_g, gp_g = jax.grad(loss, argnums=(0, 1))(
+        jnp.asarray(x), jnp.asarray(pos), plan_b)
+    np.testing.assert_array_equal(np.asarray(gx_g), np.asarray(gx_w))
+    np.testing.assert_array_equal(np.asarray(gp_g), np.asarray(gp_w))
