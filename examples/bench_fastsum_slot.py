@@ -50,6 +50,11 @@ def main():
     float(jnp.sum(plan.row_count))
     print(f"plan: {time.perf_counter()-t0:.1f}s rows={plan.slot_pt.shape[0]} "
           f"K={plan.K} T={plan.T}", flush=True)
+    if os.environ.get("BENCH_BENES", "0") != "0":
+        t0b = time.perf_counter()
+        plan = plan.with_benes_tables()
+        jax.block_until_ready(plan.benes.local_words)
+        print(f"benes tables: {time.perf_counter()-t0b:.1f}s", flush=True)
 
     posj, batchj = jnp.asarray(pos), jnp.asarray(batch)
     args = (posj, posj, batchj, batchj, plan, plan)

@@ -60,6 +60,11 @@ def main():
     plan = build_plan_device(pos, None, N=N, m=m, batch_size=1)
     float(jnp.sum(plan.inv_slot))
     print(f"plan: {time.perf_counter()-t0:.1f}s", flush=True)
+    if os.environ.get("BENCH_BENES", "0") != "0":
+        t0b = time.perf_counter()
+        plan = plan.with_benes_tables()
+        jax.block_until_ready(plan.benes.local_words)
+        print(f"benes tables: {time.perf_counter()-t0b:.1f}s", flush=True)
 
     def loss(x, pos, batch, plan):
         yr, yi = nfft_adjoint_planar(x, pos, batch, plan, batch_size=1, N=N, m=m)
