@@ -496,3 +496,34 @@ def test_slot_layout_vjp(rng, monkeypatch):
     dg_x = jax.grad(lambda a: jnp.vdot(_gather_dft_xla(plan, a, p, False), x))(g)
     sc = max(1e-6, float(jnp.abs(dg_x).max()))
     np.testing.assert_allclose(np.asarray(dg_s), np.asarray(dg_x), atol=5e-5 * sc)
+
+
+def test_device_builder_dense_probe_picks_t8(rng):
+    """Dense 3D point sets (>= 1024 points per occupied T=16 bin) switch
+    the device builder to T=8 tiles — smaller window halos and a ~3x
+    smaller folded tile array (headline A/B in BASELINE.md) — and the
+    transform still matches a T=16-forced plan."""
+    from torch_nfft_tpu.ops.binned import build_plan_device
+
+    n, dim, N, m = 28000, 3, 32, 2  # M=64: ~27 occupied T=16 bins
+    pos = ((rng.random((n, dim)) - 0.5) / 2.0).astype(np.float32)
+    x = rng.standard_normal((n, 1)).astype(np.float32)
+    batch = jnp.zeros((n,), jnp.int32)
+
+    plan = build_plan_device(jnp.asarray(pos), None, N=N, m=m,
+                             batch_size=1, window="es")
+    assert plan.T == 8, plan.T
+    plan16 = build_plan_device(jnp.asarray(pos), None, N=N, m=m,
+                               batch_size=1, window="es", T=16)
+
+    import torch_nfft_tpu as tn
+
+    def run(p):
+        return np.asarray(tn.nfft_adjoint(
+            jnp.asarray(x), jnp.asarray(pos), batch, batch_size=1,
+            bandwidth=N, cutoff=m, plan=p, strategy="binned", window="es"))
+
+    y8, y16 = run(plan), run(plan16)
+    # different tiling -> different f32 summation order only
+    sc = float(np.abs(y16).max())
+    np.testing.assert_allclose(y8, y16, atol=2e-5 * sc)
