@@ -47,6 +47,26 @@ def _run_pairs(pair, label, n):
     t = float(np.median(ts))
     print(f"{label}: {t:.3f} s/pair = {n/t/1e6:.2f} M points/s", flush=True)
 
+    # Steady-state: enqueue BATCH_PIPELINE pairs back-to-back, pull after the
+    # last enqueue (same protocol as bench.py) — host dispatch of the many
+    # per-group/per-column calls overlaps device execution.
+    pipe = int(os.environ.get("BATCH_PIPELINE", "3"))
+    if pipe > 1:
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            outs = [pair(defer=True) for _ in range(pipe)]
+            for o in outs:
+                for v in o:
+                    float(jnp.sum(v))
+            dt = (time.perf_counter() - t0) / pipe
+            best = dt if best is None else min(best, dt)
+        print(
+            f"{label} pipelined x{pipe}: {best:.3f} s/pair = "
+            f"{n/best/1e6:.2f} M points/s",
+            flush=True,
+        )
+
 
 def main():
     logn = int(sys.argv[1]) if len(sys.argv) > 1 else 21
@@ -68,9 +88,11 @@ def main():
         print(f"layout+plans: {time.perf_counter()-t0:.1f}s "
               f"(n_max={layout.n_max})", flush=True)
 
-        def pair():
+        def pair(defer=False):
             yr, yi = nfft_adjoint_streamed(x, layout)
             zr, _ = nfft_forward_streamed(yr, yi, layout)
+            if defer:
+                return [zr]
             return float(jnp.sum(zr))
 
         _run_pairs(pair, f"stream B={B} N={N} C={C} n={n}", n)
@@ -80,7 +102,7 @@ def main():
     # leading dim (active-slab compaction makes multi-member grids fit);
     # columns run one at a time to keep the dense tile array inside the
     # fold budget. Far fewer, bigger pipelines than one-member streaming.
-    from torch_nfft_tpu.ops.binned import build_plan
+    from torch_nfft_tpu.ops.binned import build_plan_device
     from torch_nfft_tpu.ops.planar import nfft_adjoint_planar, nfft_forward_planar
 
     Gm = int(os.environ.get("BATCH_GROUP", 8))
@@ -91,8 +113,12 @@ def main():
     for g0 in range(0, B, Gm):
         sel = (batch >= g0) & (batch < g0 + Gm)
         pos_g, batch_g, x_g = pos[sel], batch[sel] - g0, x[sel]
-        plan_g = build_plan(pos_g, batch_g, N=N, m=m, batch_size=Gm, K=Kf,
-                            window=window)
+        # device-side builder: every O(n) step stays on-chip (the host
+        # builder ships ~8 B/point over the tunnel — 65 s for this config)
+        plan_g = build_plan_device(
+            jnp.asarray(pos_g), jnp.asarray(batch_g), N=N, m=m,
+            batch_size=Gm, K=Kf, window=window,
+        )
         groups.append((jnp.asarray(pos_g), jnp.asarray(batch_g),
                        jnp.asarray(x_g), plan_g))
     print(f"plans: {time.perf_counter()-t0:.1f}s groups={len(groups)} "
@@ -105,8 +131,11 @@ def main():
     # costs more than the per-row window/Khatri-Rao sharing saves.
     Cc = int(os.environ.get("BATCH_COLS", 1))
 
-    def pair():
-        acc = 0.0
+    def pair(defer=False):
+        # enqueue every group x column pipeline before pulling anything:
+        # TPU executes in order, so the per-call host dispatch (~30 ms on
+        # the bench tunnel) overlaps device execution of the previous call
+        outs = []
         for posj, batchj, xj, plan in groups:
             for c in range(0, C, Cc):
                 yr, yi = nfft_adjoint_planar(
@@ -117,8 +146,10 @@ def main():
                     yr, yi, posj, batchj, plan, batch_size=Gm, dim=dim, m=m,
                     real_output=True, window=window,
                 )
-                acc += float(jnp.sum(zr))
-        return acc
+                outs.append(zr)
+        if defer:
+            return outs
+        return sum(float(jnp.sum(zr)) for zr in outs)
 
     _run_pairs(
         pair,
