@@ -485,6 +485,77 @@ def test_grid_sharded_fastsum_matches_planar(rng, gmesh):
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=2e-4, atol=2e-4)
 
 
+def test_grid_sharded_fastsum_3d_matches_planar(rng, gmesh):
+    """3D N=32 fastsum through the grid-sharded slabs vs the single-device
+    planar fastsum (round-3 VERDICT item 5: the 3D fastsum path was only
+    2D-tested; the dryrun covers it compile-side, this covers values)."""
+    from torch_nfft_tpu.ops.planar import nfft_fastsum_real
+    from torch_nfft_tpu.parallel import (
+        build_grid_sharded_layout,
+        nfft_fastsum_grid_sharded,
+    )
+
+    n, dim, N, m, T = 1200, 3, 32, 3, 8
+    pos = (rng.random((n, dim)) - 0.5).astype(np.float32)
+    pos /= 4 * np.abs(pos).max()
+    x = rng.standard_normal((n, 2)).astype(np.float32)
+    coeffs = np.asarray(tn.gaussian_analytic_coeffs(0.3, dim=dim, N=N))
+    P = gmesh.devices.size
+
+    lay = build_grid_sharded_layout(pos, n_shards=P, N=N, m=m, T=T,
+                                    window="es")
+    y = nfft_fastsum_grid_sharded(x, coeffs, lay, gmesh)
+
+    batch = jnp.zeros((n,), jnp.int32)
+    ref = nfft_fastsum_real(
+        jnp.asarray(x), jnp.asarray(coeffs), jnp.asarray(pos),
+        jnp.asarray(pos), batch, batch, batch_size=1, N=N, m=m, window="es",
+    )
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_batch_axis_shards_trivially(rng, mesh):
+    """DCN-analogue batch axis: independent point sets sharded over a mesh
+    axis, each device transforming locally with ZERO collectives, must match
+    the per-member unsharded transforms exactly (block-diagonal batch
+    semantics, docs/source/theory/kernelmatrices.rst:32-39)."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from torch_nfft_tpu.ops.planar import (
+        nfft_adjoint_planar,
+        nfft_forward_planar,
+    )
+
+    devs = np.asarray(jax.devices())
+    bmesh = Mesh(devs, ("batch",))
+    B, n_per, dim, N, m = devs.size, 40, 2, 16, 3
+    pos = jnp.asarray((rng.random((B, n_per, dim)) - 0.5).astype(np.float32) / 4.0)
+    x = jnp.asarray(rng.standard_normal((B, n_per, 1)).astype(np.float32))
+
+    def body(x_l, pos_l):
+        zb = jnp.zeros((n_per,), jnp.int32)
+        yr, yi = nfft_adjoint_planar(x_l[0], pos_l[0], zb, batch_size=1,
+                                     N=N, m=m)
+        zr, _ = nfft_forward_planar(yr, yi, pos_l[0], zb, batch_size=1,
+                                    dim=dim, m=m, real_output=True)
+        return zr[None]
+
+    fn = jax.jit(jax.shard_map(
+        body, mesh=bmesh, in_specs=(P("batch"), P("batch")),
+        out_specs=P("batch"),
+    ))
+    got = np.asarray(fn(x, pos))
+
+    for b in range(B):
+        zb = jnp.zeros((n_per,), jnp.int32)
+        yr, yi = nfft_adjoint_planar(x[b], pos[b], zb, batch_size=1, N=N, m=m)
+        zr, _ = nfft_forward_planar(yr, yi, pos[b], zb, batch_size=1,
+                                    dim=dim, m=m, real_output=True)
+        np.testing.assert_allclose(got[b], np.asarray(zr), rtol=1e-5,
+                                   atol=1e-5)
+
+
 def test_grid_sharded_value_gradients(rng, gmesh):
     """jax.grad flows through the grid-sharded adjoint (shard_map + halo
     ppermute + spectral psum) and matches the single-device planar grad.

@@ -111,6 +111,44 @@ def test_eager_plan_cache_builds_once(rng, monkeypatch):
     assert calls["n"] == 3
 
 
+def test_plan_cache_key_identity_fast_path(rng, monkeypatch):
+    """Repeat eager calls with the SAME array object must not re-hash the
+    positions on the host (round-3 VERDICT weak #6: the content hash is an
+    O(n) host read per call — ~100 ms at n=16M)."""
+    import hashlib
+
+    hashes = {"n": 0}
+    real_blake = hashlib.blake2b
+
+    def counting_blake(*args, **kwargs):
+        hashes["n"] += 1
+        return real_blake(*args, **kwargs)
+
+    monkeypatch.setattr(hashlib, "blake2b", counting_blake)
+
+    pos = _points(rng, 500, 2)
+    batch = np.zeros((500,), np.int32)
+    k1 = nfft_mod._plan_cache_key(pos, batch, 16, 4, 2.0, 1, "gaussian")
+    assert hashes["n"] == 1
+    k2 = nfft_mod._plan_cache_key(pos, batch, 16, 4, 2.0, 1, "gaussian")
+    assert hashes["n"] == 1  # identity hit: no second content hash
+    assert k1 == k2
+
+    # same content, different object -> content hash runs, same key
+    k3 = nfft_mod._plan_cache_key(pos.copy(), batch, 16, 4, 2.0, 1, "gaussian")
+    assert hashes["n"] == 2
+    assert k3 == k1
+
+    # same object, different params -> distinct key (hash may rerun)
+    k4 = nfft_mod._plan_cache_key(pos, batch, 32, 4, 2.0, 1, "gaussian")
+    assert k4 != k1
+
+    # a DIFFERENT batch object with the same positions object -> no stale hit
+    batch2 = np.ones((500,), np.int32)
+    k5 = nfft_mod._plan_cache_key(pos, batch2, 16, 4, 2.0, 1, "gaussian")
+    assert k5 != k1
+
+
 # ---------------------------------------------------------------------------
 # Complex-free coefficient generation (VERDICT missing item #3)
 # ---------------------------------------------------------------------------

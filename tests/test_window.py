@@ -281,6 +281,33 @@ def test_suggest_window_parameters_low_sigma(rng):
     assert err <= tol, (p, err)
 
 
+def test_es_error_model_upper_bound_3d(rng):
+    """The es error model must stay an upper bound where it extrapolates
+    from its 2D N=32 calibration: 3D, sigma at both ends (1.25 / 3.0).
+    CPU-sized subset of examples/validate_window_model.py (the full sweep
+    incl. N=256 runs there; results in BASELINE.md)."""
+    from torch_nfft_tpu.ops.planar import nfft_adjoint_planar
+    from torch_nfft_tpu.ops.window import _es_error_model
+
+    n, dim, N = 1500, 3, 32
+    pos = _safe_points(rng, n, dim)
+    x = rng.standard_normal((n, 1)).astype(np.float32)
+    batch = jnp.zeros((n,), jnp.int32)
+    ref = np.asarray(tn.ndft_adjoint(x, pos, N=N))[..., 0]
+
+    for sigma in (1.25, 3.0):
+        for m in (2, 3):
+            yr, yi = nfft_adjoint_planar(
+                jnp.asarray(x), jnp.asarray(pos), batch, batch_size=1,
+                N=N, m=m, sigma=sigma, window="es",
+            )
+            got = (np.asarray(yr)[0, ..., 0]
+                   + 1j * np.asarray(yi)[0, ..., 0])
+            err = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+            model = _es_error_model(m, sigma)
+            assert err <= model, (sigma, m, err, model)
+
+
 def test_es_grid_sharded(rng):
     """Grid-sharded adjoint with an es layout matches the es planar path
     on the 8-virtual-device CPU mesh."""

@@ -192,20 +192,52 @@ _PLAN_CACHE_MAX = 4
 def clear_plan_cache() -> None:
     """Drop all cached eager plans (frees their device arrays)."""
     _PLAN_CACHE.clear()
+    _PLAN_ID_CACHE.clear()
+
+
+# Identity fast path over the content-keyed cache: arrays (jax and numpy
+# alike) are treated as immutable here, so seeing the SAME object again means
+# the same content — no O(n) host read needed on repeat eager calls with the
+# same array (at n=16M the content hash below costs ~100 ms/call host-side).
+# Maps id(pos) -> (weakref(pos), weakref(batch) | None, params, content_key);
+# the `ref() is pos` identity check makes id-reuse after GC harmless.
+_PLAN_ID_CACHE: OrderedDict = OrderedDict()
+_PLAN_ID_CACHE_MAX = 16
 
 
 def _plan_cache_key(pos, batch, N, m, sigma, batch_size, window):
-    """Content hash of the exact inputs that determine a plan. Hashing reads
-    the positions on the host — same cost class as the host-side plan build
-    it saves; callers on slow device links should pass ``plan=`` instead."""
+    """Content hash of the exact inputs that determine a plan, with an
+    identity (same-object) fast path. A content-hash miss reads the
+    positions on the host — same cost class as the host-side plan build it
+    saves; callers on slow device links should pass ``plan=`` instead."""
     import hashlib
+    import weakref
+
+    params = (N, m, float(sigma), batch_size, window)
+    ent = _PLAN_ID_CACHE.get(id(pos))
+    if ent is not None:
+        pref, bref, eparams, ckey = ent
+        bmatch = (bref is None and batch is None) or (
+            bref is not None and bref() is batch)
+        if pref() is pos and bmatch and eparams == params:
+            _PLAN_ID_CACHE.move_to_end(id(pos))
+            return ckey
 
     a = np.ascontiguousarray(np.asarray(pos, dtype=np.float32))
     h = hashlib.blake2b(digest_size=16)
     h.update(a.tobytes())
     if batch is not None:
         h.update(np.ascontiguousarray(np.asarray(batch, np.int32)).tobytes())
-    return (h.digest(), a.shape, N, m, float(sigma), batch_size, window)
+    key = (h.digest(), a.shape, N, m, float(sigma), batch_size, window)
+    try:
+        pref = weakref.ref(pos)
+        bref = None if batch is None else weakref.ref(batch)
+    except TypeError:  # e.g. plain lists — no identity caching
+        return key
+    _PLAN_ID_CACHE[id(pos)] = (pref, bref, params, key)
+    while len(_PLAN_ID_CACHE) > _PLAN_ID_CACHE_MAX:
+        _PLAN_ID_CACHE.popitem(last=False)
+    return key
 
 
 def _maybe_build_plan(strategy, plan, pos, batch, N, m, sigma, batch_size, C=1,
