@@ -239,7 +239,7 @@ def test_suggest_window_parameters(rng):
     x = rng.standard_normal((n, 2)).astype(np.float32)
     yr = np.asarray(tn.ndft_adjoint(x, pos, N=N))
     ms = []
-    for tol in (1e-3, 1e-4, 1e-5):
+    for tol in (1e-3, 1e-4):
         p = tn.suggest_window_parameters(tol)
         ms.append(p["m"])
         err = _rel(
@@ -251,7 +251,11 @@ def test_suggest_window_parameters(rng):
         assert err <= tol, (tol, p, err)
         assert err <= p["predicted_rel_l2"], (p, err)  # the bound is honest
     assert ms == sorted(ms)
-    # sub-f32 tolerances warn and return the most accurate config
+    # tolerances below the ~4e-5 TPU HIGH-matmul pipeline floor warn and
+    # return the most accurate config (CPU backends measure lower, but the
+    # model bounds the production TPU path — see _es_error_model)
+    with pytest.warns(UserWarning, match="reachable"):
+        assert tn.suggest_window_parameters(1e-5)["m"] <= 8
     with pytest.warns(UserWarning, match="reachable"):
         assert tn.suggest_window_parameters(1e-12)["m"] <= 8
 
@@ -263,7 +267,7 @@ def test_suggest_window_parameters_low_sigma(rng):
     met against the dense oracle."""
     sigma = 1.25
     # tol below the sigma-1.25 floor: warn instead of a false promise
-    with pytest.warns(UserWarning, match="raise sigma"):
+    with pytest.warns(UserWarning, match="Raising sigma"):
         tn.suggest_window_parameters(1e-5, sigma=sigma)
 
     # a feasible tolerance is actually met at this sigma

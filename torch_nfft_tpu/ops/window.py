@@ -308,26 +308,41 @@ def window_index_offsets(dim: int, m: int) -> jnp.ndarray:
     return jnp.stack(grids, axis=-1).reshape(-1, dim)
 
 
+# Measured TPU pipeline floor: the planar DFTs run Precision.HIGH (3-pass
+# bf16) matmuls whose rounding lands 2.1-3.0e-5 rel-L2 regardless of M, dim
+# or n (TPU sweep, sigma=3 where window truncation is ~1e-9: 3D N=32/64/128/
+# 256 measured 2.68/2.93/2.82/2.70e-5, 2D 2.1-2.2e-5, n 1.5k-16k flat —
+# examples/validate_window_model.py + BASELINE.md "Window model validation").
+# CPU backends do exact-f32 matmuls and reach ~1e-6; the model bounds the
+# production (TPU) path.
+_F32_PIPELINE_FLOOR = 4e-5
+
+
 @functools.lru_cache(maxsize=None)
 def _es_error_model(m: int, sigma: float) -> float:
     """Conservative rel-L2 error model for the es window at (m, sigma):
-    window truncation exp(-r(sigma) * beta) with the sigma-dependent rate
-    r = 0.92 * (1 - 1/(2 sigma)) (the measured effective decay rate falls
-    with oversampling: ~0.56-0.72 at sigma=1.25, ~0.74-0.84 at sigma=2),
-    plus a float32 floor proportional to the deconvolution's dynamic range
-    max(phi_hat_inv)/min(phi_hat_inv) (at low oversampling the rolloff
-    correction amplifies rounding noise — the dominant term below sigma
-    ~1.5, and the reason accuracy DEGRADES again for large m there:
-    sigma=1.25 m=5 measures 1.9e-4 where m=4 measures 3.4e-5). Both
-    constants upper-bound a 15-point dense-oracle sweep (sigma 1.25/1.5/2 x
-    m 1..5, 2D N=32): e.g. sigma=2 m=1/2/3 measured 1.1e-3/1.1e-5/8e-7
-    (model 1.8e-3/7.5e-5/5.9e-6), sigma=1.25 m=2/3/5 measured
-    1.0e-3/4.4e-5/1.9e-4 (model 2.3e-3/3.3e-4/2.4e-4)."""
+
+    truncation + TPU matmul floor + deconvolution amplification
+
+    * window truncation ``exp(-r(sigma) * beta)`` with the sigma-dependent
+      rate r = 0.92 * (1 - 1/(2 sigma)) (the measured effective decay rate
+      falls with oversampling: ~0.56-0.72 at sigma=1.25, ~0.74-0.84 at
+      sigma=2);
+    * the flat ~3e-5 TPU HIGH-matmul floor (see ``_F32_PIPELINE_FLOOR``);
+    * a low-oversampling term in the deconvolution's dynamic range
+      ``amp = max(phi_hat_inv)/min(phi_hat_inv)``: the rolloff correction
+      amplifies f32 rounding, the dominant term below sigma ~1.5 and the
+      reason accuracy DEGRADES with m there. Calibrated as an upper bound
+      on the on-device 3D sweep (sigma=1.25, N=64/256: m=3 measured
+      5.4-6.2e-4, m=4 measured 3.3-6.3e-3 — model 8.5e-4 / 1.3e-2); the
+      round-3 CPU-only calibration used ``1e-6 * amp``, which a TPU run
+      violates by up to 50x (BASELINE.md table).
+    """
     rate = 0.92 * (1.0 - 1.0 / (2.0 * sigma))
     trunc = math.exp(-rate * es_beta(m, sigma))
     v = phi_hat_inv_np(64, m, float(sigma), "es")
     amp = float(v.max() / v.min())
-    return trunc + 1e-6 * amp
+    return trunc + _F32_PIPELINE_FLOOR + 7e-9 * amp**3.2
 
 
 def suggest_window_parameters(tol: float, sigma: float = DEFAULT_SIGMA) -> dict:
@@ -335,11 +350,14 @@ def suggest_window_parameters(tol: float, sigma: float = DEFAULT_SIGMA) -> dict:
 
     Chooses the es window (best accuracy per support width) and the smallest
     cutoff m whose conservative error model meets ``tol`` (see
-    :func:`_es_error_model`: truncation decay plus a sigma-dependent float32
-    floor — at sigma=1.25 the reachable error floors near 5e-5, at sigma=2
-    near 1e-6). If no m reaches ``tol`` at this sigma, the most accurate
-    configuration is returned with a ``UserWarning`` naming the model's
-    reachable minimum.
+    :func:`_es_error_model`: truncation decay + the ~4e-5 TPU HIGH-matmul
+    pipeline floor + a low-sigma deconvolution-amplification term). If no m
+    reaches ``tol`` at this sigma, the most accurate configuration is
+    returned with a ``UserWarning`` naming the model's reachable minimum.
+    Tolerances below the pipeline floor are unreachable on the TPU planar
+    path at ANY sigma (raising sigma only helps against the amplification
+    term); CPU backends (exact-f32 matmuls) measure ~1e-6-class errors with
+    the same parameters.
 
     Returns ``{"window": "es", "m": m, "sigma": sigma, "predicted_rel_l2":
     model_bound}`` — pass into any transform as
@@ -356,9 +374,12 @@ def suggest_window_parameters(tol: float, sigma: float = DEFAULT_SIGMA) -> dict:
     import warnings
 
     warnings.warn(
-        f"tol={tol:g} is below the float32-reachable error at sigma={sigma} "
+        f"tol={tol:g} is below the reachable error at sigma={sigma} "
         f"(error model minimum {errs[best]:.1e} at m={best}); returning the "
-        "most accurate configuration — raise sigma for tighter tolerances",
+        "most accurate configuration. Raising sigma helps against the "
+        "low-oversampling amplification but not below the ~4e-5 TPU "
+        "HIGH-matmul pipeline floor; CPU backends measure ~1e-6-class "
+        "errors with the same parameters",
         UserWarning,
         stacklevel=2,
     )
