@@ -74,7 +74,10 @@ def main():
     n, B, N, dim, C = 1 << logn, 16, 256, 3, 2
     window = os.environ.get("BENCH_WINDOW", "gaussian")
     m = int(os.environ.get("BENCH_CUTOFF", 4))
-    print(f"window={window} m={m}", flush=True)
+    sigma = float(os.environ.get("BENCH_SIGMA", 2.0))
+    T_env = os.environ.get("BATCH_T")
+    T_plan = int(T_env) if T_env else None
+    print(f"window={window} m={m} sigma={sigma} T={T_plan}", flush=True)
     rng = np.random.default_rng(7)
     pos = (rng.random((n, dim), dtype=np.float32) - 0.5) / 2.0
     batch = np.sort(rng.integers(0, B, n)).astype(np.int32)
@@ -116,8 +119,8 @@ def main():
         # device-side builder: every O(n) step stays on-chip (the host
         # builder ships ~8 B/point over the tunnel — 65 s for this config)
         plan_g = build_plan_device(
-            jnp.asarray(pos_g), jnp.asarray(batch_g), N=N, m=m,
-            batch_size=Gm, K=Kf, window=window,
+            jnp.asarray(pos_g), jnp.asarray(batch_g), N=N, m=m, sigma=sigma,
+            batch_size=Gm, K=Kf, T=T_plan, window=window,
         )
         groups.append((jnp.asarray(pos_g), jnp.asarray(batch_g),
                        jnp.asarray(x_g), plan_g))
@@ -140,11 +143,11 @@ def main():
             for c in range(0, C, Cc):
                 yr, yi = nfft_adjoint_planar(
                     xj[:, c : c + Cc], posj, batchj, plan, batch_size=Gm,
-                    N=N, m=m, window=window,
+                    N=N, m=m, sigma=sigma, window=window,
                 )
                 zr, _ = nfft_forward_planar(
                     yr, yi, posj, batchj, plan, batch_size=Gm, dim=dim, m=m,
-                    real_output=True, window=window,
+                    sigma=sigma, real_output=True, window=window,
                 )
                 outs.append(zr)
         if defer:
@@ -155,6 +158,27 @@ def main():
         pair,
         f"global B={B} (groups of {Gm}, cols of {Cc}) N={N} C={C} n={n}", n,
     )
+
+    # Accuracy gate: adjoint output of member 0, column 0 vs an exact-phase
+    # oracle on 64 sampled frequencies (same pattern as bench.py's headline
+    # check; member points are few enough for a host float64 oracle).
+    posj, batchj, xj, plan = groups[0]
+    yr, yi = nfft_adjoint_planar(
+        xj[:, :1], posj, batchj, plan, batch_size=Gm, N=N, m=m, sigma=sigma,
+        window=window,
+    )
+    sel0 = np.asarray(batchj) == 0
+    p0 = np.asarray(posj)[sel0].astype(np.float64)
+    x0 = np.asarray(xj)[sel0, 0].astype(np.float64)
+    rng2 = np.random.default_rng(11)
+    k = rng2.integers(-(N // 2), N // 2, size=(64, dim))
+    idx = tuple((k[:, d] + N // 2) for d in range(dim))
+    got = (np.asarray(yr[(0,) + idx + (0,)])
+           + 1j * np.asarray(yi[(0,) + idx + (0,)]))
+    ref = np.exp(2j * np.pi * (k @ p0.T)) @ x0
+    rel = float(np.linalg.norm(got - ref) / np.linalg.norm(ref))
+    print(f"accuracy (member 0, 64 sampled freqs) rel-L2 = {rel:.2e} "
+          f"ok={rel < 1e-3}", flush=True)
 
 
 if __name__ == "__main__":
