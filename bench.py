@@ -386,7 +386,12 @@ def _run(state):
     # BENCH_WINDOW=gaussian BENCH_CUTOFF=4.
     window = os.environ.get("BENCH_WINDOW", "es")
     m = int(os.environ.get("BENCH_CUTOFF", 2 if window == "es" else 4))
-    sigma = float(os.environ.get("BENCH_SIGMA", 2.0))
+    # es default sigma=1.625: every grid-side stage scales with
+    # M^3 = (sigma*N)^3 while the halo stays H=13, and the measured headline
+    # accuracy (5.6e-5) keeps a 2.1x margin under the reference-parity
+    # 1.2e-4 bar (BASELINE.md round-4). sigma=2 remains the gaussian
+    # default (reference parity) and available via BENCH_SIGMA.
+    sigma = float(os.environ.get("BENCH_SIGMA", 1.625 if window == "es" else 2.0))
     K_env = os.environ.get("BENCH_K")
     K_plan = int(K_env) if K_env else None
     T_env = os.environ.get("BENCH_T")
@@ -477,8 +482,9 @@ def _run(state):
 
         _log(f"building plan (device builder; warm ~8 s, cold ~63 s) ...")
         t0 = time.perf_counter()
-        plan = build_plan_device(pos, None, N=N, m=m, batch_size=1,
-                                 window=window, K=K_plan, T=T_plan)
+        plan = build_plan_device(pos, None, N=N, m=m, sigma=sigma,
+                                 batch_size=1, window=window, K=K_plan,
+                                 T=T_plan)
         jax.block_until_ready(plan.inv_slot)
         float(jnp.sum(plan.row_count))
         t_plan = time.perf_counter() - t0

@@ -51,15 +51,30 @@ __all__ = [
 from .window import DEFAULT_SIGMA, DEFAULT_WINDOW  # noqa: E402
 
 
-def _check_window_match(window, *plans):
-    """A plan built for one window family used with another would be
-    silently wrong (same geometry, different weights) — fail loudly."""
+def _check_window_match(window, *plans, m=None, M=None):
+    """A plan built for one window family — or one (M, m) geometry — used
+    with another would be silently wrong (a sigma mismatch reproduces the
+    round-4 bench bug: a sigma=2 plan fed to a sigma=1.75 transform ran at
+    full speed and produced garbage) — fail loudly."""
     for p in plans:
-        if p is not None and p.window != window:
+        if p is None:
+            continue
+        if p.window != window:
             raise ValueError(
                 f"plan was built with window={p.window!r} but the transform "
                 f"uses window={window!r} — rebuild the plan or pass the "
                 "matching window="
+            )
+        if m is not None and p.m != m:
+            raise ValueError(
+                f"plan was built with cutoff m={p.m} but the transform uses "
+                f"m={m} — rebuild the plan for this geometry"
+            )
+        if M is not None and p.M != M:
+            raise ValueError(
+                f"plan was built for an oversampled grid M={p.M} but the "
+                f"transform uses M={M} (sigma*N mismatch) — rebuild the "
+                "plan with this N and sigma"
             )
 
 
@@ -139,7 +154,7 @@ def nfft_adjoint_planar(
     n, dim = pos.shape
     M = int(round(sigma * N))
     C = x.shape[1]
-    _check_window_match(window, plan)
+    _check_window_match(window, plan, m=m, M=M)
 
     if M <= PRUNED_MAX:
         # DFT-layout flow: fold-spread straight into (B, L1, .., C, L0)
@@ -206,7 +221,7 @@ def nfft_forward_planar(
     N = xr.shape[1]
     M = int(round(sigma * N))
     C = xr.shape[-1]
-    _check_window_match(window, plan)
+    _check_window_match(window, plan, m=m, M=M)
 
     if M <= PRUNED_MAX:
         itemsize = jnp.dtype(xr.dtype).itemsize
@@ -326,7 +341,7 @@ def nfft_fastsum_real(
     M = int(round(sigma * N))
     C = x.shape[0] if slot_io else x.shape[1]
     axes = tuple(range(1, dim + 1))
-    _check_window_match(window, source_plan, target_plan)
+    _check_window_match(window, source_plan, target_plan, m=m, M=M)
 
     if slot_io:
         from .binned import gather_binned_dft_slot, spread_binned_dft_slot
