@@ -133,6 +133,40 @@ def test_pallas_kernels_interpret(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x), rtol=1e-5, atol=1e-5)
 
 
+def test_pallas_kernels_interpret_chunked_K(rng, monkeypatch):
+    """K > the kernels' 1024-lane chunk (n_chunks = 2): the chunk loop's
+    second iteration must re-read the scalar-prefetch tables with the ROW
+    index (a shadowing bug made the gather kernel index them with the
+    previous chunk's (H, KC) dot result — crashed every K=2048 plan on
+    device; the CPU XLA fallback masked it, so this drives the kernels in
+    interpret mode)."""
+    monkeypatch.setenv("TORCH_NFFT_TPU_KERNEL_PRECISION", "highest")
+    from torch_nfft_tpu.ops.binned import (
+        _gather_dft_pallas,
+        _gather_dft_xla,
+        _spread_dft_pallas,
+        _spread_dft_xla,
+        build_plan,
+    )
+    from torch_nfft_tpu.ops.pallas.contract import pallas_supported
+
+    n, dim, N, m, B, C = 5000, 3, 16, 2, 1, 2
+    pos, batch = _points(rng, n, dim, B)
+    plan = build_plan(pos, batch, N=N, m=m, batch_size=B, K=2048)
+    assert plan.K == 2048 and pallas_supported(plan, C)
+    x = rng.standard_normal((n, C)).astype(np.float32)
+
+    g_p = _spread_dft_pallas(plan, jnp.asarray(x), jnp.asarray(pos), B)
+    g_x = _spread_dft_xla(plan, jnp.asarray(x), jnp.asarray(pos), B)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=1e-5,
+                               atol=1e-5)
+
+    y_p = _gather_dft_pallas(plan, g_x, jnp.asarray(pos))
+    y_x = _gather_dft_xla(plan, g_x, jnp.asarray(pos))
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x), rtol=1e-5,
+                               atol=1e-5)
+
+
 @pytest.mark.parametrize("dim,N,m,B", [(3, 16, 4, 1), (2, 32, 3, 2)])
 def test_build_plan_device_matches_host(rng, dim, N, m, B):
     """Device-built plans must execute identically to host-built ones."""

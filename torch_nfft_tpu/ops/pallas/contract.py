@@ -469,18 +469,21 @@ def _gather_kernel(
             # H^{dim-1} axis with a small (H, KC) output — the MXU-friendly
             # association (contracting the H-deep axis with a (W2, KC)
             # output, the other association, measures ~2x slower).
+            # NB: do not name this `s` — that shadows the program_id above,
+            # and the next K-chunk's org?_ref[s] would index with this
+            # (H, KC) array (crashed every K > _KC plan on device).
             if mode == "high3":
-                s = _dot_high3(G, B, dn)
+                sG = _dot_high3(G, B, dn)
             else:
-                s = jax.lax.dot_general(
+                sG = jax.lax.dot_general(
                     G.astype(jnp.bfloat16) if bf else G,
                     B,
                     dimension_numbers=dn,
                     preferred_element_type=jnp.float32,
                     precision=prec,
                 )  # (H, KC)
-            # y[k] = sum_u A0[u, k] * s[u, k]
-            yk = jnp.sum(a0 * s, axis=0, keepdims=True) * kmask  # (1, KC)
+            # y[k] = sum_u A0[u, k] * sG[u, k]
+            yk = jnp.sum(a0 * sG, axis=0, keepdims=True) * kmask  # (1, KC)
             y_ref[0, c : c + 1, pl.ds(sl, KC)] = yk
 
 
