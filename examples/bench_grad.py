@@ -49,7 +49,11 @@ def bench(jfn, *args, iters=3):
 
 def main():
     logn = int(sys.argv[1]) if len(sys.argv) > 1 else 22
-    n, N, dim, m = 1 << logn, 256, 3, 4
+    n, N, dim = 1 << logn, 256, 3
+    window = os.environ.get("BENCH_WINDOW", "gaussian")
+    m = int(os.environ.get("BENCH_CUTOFF", 2 if window == "es" else 4))
+    sigma = float(os.environ.get("BENCH_SIGMA", 2.0))
+    print(f"window={window} m={m} sigma={sigma}", flush=True)
     rng = np.random.default_rng(7)
     pos_np = (rng.random((n, dim), dtype=np.float32) - 0.5) / 2.0
     pos = jnp.asarray(pos_np)
@@ -57,7 +61,8 @@ def main():
     batch = jnp.zeros((n,), jnp.int32)
 
     t0 = time.perf_counter()
-    plan = build_plan_device(pos, None, N=N, m=m, batch_size=1)
+    plan = build_plan_device(pos, None, N=N, m=m, sigma=sigma, batch_size=1,
+                             window=window)
     float(jnp.sum(plan.inv_slot))
     print(f"plan: {time.perf_counter()-t0:.1f}s", flush=True)
     if os.environ.get("BENCH_BENES", "0") != "0":
@@ -67,7 +72,8 @@ def main():
         print(f"benes tables: {time.perf_counter()-t0b:.1f}s", flush=True)
 
     def loss(x, pos, batch, plan):
-        yr, yi = nfft_adjoint_planar(x, pos, batch, plan, batch_size=1, N=N, m=m)
+        yr, yi = nfft_adjoint_planar(x, pos, batch, plan, batch_size=1, N=N,
+                                     m=m, sigma=sigma, window=window)
         return jnp.sum(yr * yr + yi * yi)
 
     fwd = jax.jit(loss)
