@@ -623,7 +623,9 @@ def _run(state):
     # device execution instead of adding to it — the rate a production host
     # driving back-to-back transforms sees; seconds_per_pair_serial is
     # single-call latency (one dispatch included).
-    pipe = int(os.environ.get("BENCH_PIPELINE", "4"))
+    # depth 8 measures 0.110 s/pair vs depth 4's 0.113 at the headline
+    # (more dispatch overlapped); inputs are 8 x 67 MB device copies
+    pipe = int(os.environ.get("BENCH_PIPELINE", "8"))
     t_pipe = None
     if pipe > 1 and _left() > (60 if warm else 200):
         mk = jax.jit(lambda x, s: x * s)
