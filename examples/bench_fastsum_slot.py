@@ -38,7 +38,11 @@ def main():
     logn = int(sys.argv[1]) if len(sys.argv) > 1 else 22
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     N = int(os.environ.get("BENCH_BANDWIDTH", 256))
-    n, dim, m, B = 1 << logn, 3, 4, 1
+    window = os.environ.get("BENCH_WINDOW", "gaussian")
+    m = int(os.environ.get("BENCH_CUTOFF", 2 if window == "es" else 4))
+    sigma = float(os.environ.get("BENCH_SIGMA", 2.0))
+    n, dim, B = 1 << logn, 3, 1
+    print(f"window={window} m={m} sigma={sigma}", flush=True)
     rng = np.random.default_rng(11)
     pos = (rng.random((n, dim), dtype=np.float32) - 0.5) / 2.0
     batch = np.zeros((n,), np.int32)
@@ -46,7 +50,8 @@ def main():
     coeffs = tn.gaussian_analytic_coeffs(0.1, dim=dim, N=N)
 
     t0 = time.perf_counter()
-    plan = tn.build_plan_device(pos, batch, N=N, m=m, batch_size=B)
+    plan = tn.build_plan_device(pos, batch, N=N, m=m, sigma=sigma,
+                                batch_size=B, window=window)
     float(jnp.sum(plan.row_count))
     print(f"plan: {time.perf_counter()-t0:.1f}s rows={plan.slot_pt.shape[0]} "
           f"K={plan.K} T={plan.T}", flush=True)
@@ -57,35 +62,46 @@ def main():
         print(f"benes tables: {time.perf_counter()-t0b:.1f}s", flush=True)
 
     posj, batchj = jnp.asarray(pos), jnp.asarray(batch)
-    args = (posj, posj, batchj, batchj, plan, plan)
 
-    def step_user(y):
-        z = nfft_fastsum_real(y, coeffs, *args, batch_size=B, N=N, m=m)
+    # plan/positions as ARGUMENTS: closing over them would bake their
+    # arrays (incl. ~50 MB of Benes bit tables) into the jaxpr as
+    # constants — the tunnel's remote-compile request then exceeds the
+    # relay's body limit (HTTP 413)
+    def step_user(y, pl_, posj, batchj):
+        z = nfft_fastsum_real(y, coeffs, posj, posj, batchj, batchj, pl_,
+                              pl_, batch_size=B, N=N, m=m,
+                              sigma=sigma, window=window)
         return z * jax.lax.rsqrt(jnp.vdot(z, z))
 
-    def step_slot(v):
+    def step_slot(v, pl_, posj, batchj):
         z = nfft_fastsum_real(
-            v, coeffs, *args, batch_size=B, N=N, m=m, slot_io=True
+            v, coeffs, posj, posj, batchj, batchj, pl_, pl_,
+            batch_size=B, N=N, m=m, sigma=sigma,
+            window=window, slot_io=True
         )
         return z * jax.lax.rsqrt(jnp.vdot(z, z))
 
     @jax.jit
-    def run_user(y):
-        return jax.lax.fori_loop(0, iters, lambda _, a: step_user(a), y)
+    def run_user(y, pl_, posj, batchj):
+        return jax.lax.fori_loop(
+            0, iters, lambda _, a: step_user(a, pl_, posj, batchj), y
+        )
 
     @jax.jit
-    def run_slot(y):
-        v = tn.to_slot_order(plan, y)
-        v = jax.lax.fori_loop(0, iters, lambda _, a: step_slot(a), v)
-        return tn.from_slot_order(plan, v)
+    def run_slot(y, pl_, posj, batchj):
+        v = tn.to_slot_order(pl_, y)
+        v = jax.lax.fori_loop(
+            0, iters, lambda _, a: step_slot(a, pl_, posj, batchj), v
+        )
+        return tn.from_slot_order(pl_, v)
 
     def timeit(fn, y):
-        out = fn(y)
+        out = fn(y, plan, posj, batchj)
         float(jnp.sum(out))  # force (compile + run)
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            float(jnp.sum(fn(y)))
+            float(jnp.sum(fn(y, plan, posj, batchj)))
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts)), out
 
