@@ -115,3 +115,19 @@ def test_planar_plan_sigma_mismatch_fails_loudly(rng):
     with pytest.raises(ValueError, match="cutoff"):
         nfft_adjoint_planar(jnp.asarray(x), jnp.asarray(pos), batch, plan,
                             batch_size=1, N=N, m=3, sigma=2.0, window="es")
+
+
+def test_default_tile_divides_fractional_M():
+    """Fractional sigma makes M a non-power-of-two; the default tile must
+    drop to a dividing power of two (a ragged last tile measured 1.65x
+    slower at 2D N=128 sigma=1.625) without violating the halo-fold
+    minimum T >= 2m+1."""
+    from torch_nfft_tpu.ops.binned import default_tile
+
+    assert default_tile(2, 2, 208) == 16      # 208 = 16*13, preferred 32
+    assert default_tile(3, 2, 416) == 16      # unchanged (16 divides)
+    assert default_tile(1, 2, 6656) == 64     # unchanged (64 divides)
+    assert default_tile(2, 4, 208) == 16      # tmin=16 still divides
+    assert default_tile(3, 2, 512) == 16      # power-of-two M unchanged
+    # odd M: nothing divides — keep the preferred tile (ceil tiling)
+    assert default_tile(2, 2, 209) == 32
