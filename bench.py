@@ -193,10 +193,23 @@ def _stale_tunnel_clients():
 
 
 def _tunnel_doctor(kill=True):
-    """Detect (and by default kill, by exact PID) wedged tunnel clients."""
+    """Detect (and by default kill, by exact PID) wedged tunnel clients.
+
+    Healthy clients connect per-RPC for sub-second bursts, so a PID must be
+    seen holding a relay connection across a short re-check before it is
+    treated as wedged — a concurrent healthy session mid-RPC is not killed.
+    """
     import signal
 
-    stale = _stale_tunnel_clients()
+    stale = set(_stale_tunnel_clients())
+    if not stale:
+        return []
+    time.sleep(3.0)
+    persistent = stale & set(_stale_tunnel_clients())
+    for pid in sorted(stale - persistent):
+        _log(f"tunnel doctor: pid={pid} released its connection on re-check "
+             "(healthy mid-RPC client) — not killed")
+    stale = sorted(persistent)
     if not stale:
         return []
     for pid in stale:
@@ -463,10 +476,21 @@ def _run(state):
     # least as good (the dim-matched 3D gate first, upgraded to the
     # headline sampled-frequency check when the budget allows).
     ref_parity_rel = 1.2e-4
-    acc_basis = "gate3d" if rel_3d is not None else "gate2d"
-    accuracy_matched = (window == "gaussian" and m == 4) or (
-        (rel_3d if rel_3d is not None else rel_2d) <= ref_parity_rel)
-    h100_model = 30e6 if ((dim, N) == (3, 256) and accuracy_matched) else None
+
+    def _acc_match(rel_headline):
+        """(accuracy_matched, basis) from the BEST available measurement:
+        the headline sampled-frequency check when it ran (it measures the
+        benched configuration itself and overrides the gates — a headline
+        miss must also revoke the parity claim), else the dim-matched gate."""
+        if rel_headline is not None:
+            basis = "headline"
+            matched = (window == "gaussian" and m == 4) or (
+                rel_headline <= ref_parity_rel)
+        else:
+            basis = "gate3d" if rel_3d is not None else "gate2d"
+            matched = (window == "gaussian" and m == 4) or (
+                (rel_3d if rel_3d is not None else rel_2d) <= ref_parity_rel)
+        return matched, basis
 
     # --- stage 2: plan -----------------------------------------------------
     # Plan once (amortized across transforms, like an FFTW plan). "binned"
@@ -540,7 +564,10 @@ def _run(state):
 
     wtag = "" if window == "gaussian" else f" {window}"
 
-    def make_result(t, t_pipe, rel_headline, headline_ok, basis):
+    def make_result(t, t_pipe, rel_headline, headline_ok, basis=None):
+        matched, derived_basis = _acc_match(rel_headline)
+        basis = derived_basis if basis is None else basis
+        h100_model = 30e6 if ((dim, N) == (3, 256) and matched) else None
         vs = None if h100_model is None else round(n / t / h100_model, 3)
         return {
             "metric": (
@@ -584,8 +611,7 @@ def _run(state):
             },
         }
 
-    _set_best(make_result(t, None, None, None, acc_basis),
-              0 if gate_ok else 1)
+    _set_best(make_result(t, None, None, None), 0 if gate_ok else 1)
     _log(f"serial: {t_serial:.4f}s/pair = {n/t_serial/1e6:.1f} M pts/s "
          f"(partial result recorded)")
 
@@ -605,12 +631,7 @@ def _run(state):
         headline_ok = rel_headline < 1e-3
         _log(f"headline rel_l2 (96 sampled freqs) = {rel_headline:.2e} "
              f"ok={headline_ok} ({time.perf_counter()-t0:.1f}s)")
-        accuracy_matched_h = (window == "gaussian" and m == 4) or (
-            rel_headline <= ref_parity_rel)
-        if (dim, N) == (3, 256) and accuracy_matched_h:
-            acc_basis = "headline"
-        _set_best(make_result(t, None, rel_headline, headline_ok,
-                              acc_basis),
+        _set_best(make_result(t, None, rel_headline, headline_ok),
                   0 if (gate_ok and headline_ok) else 1)
     else:
         _log(f"SKIPPING headline accuracy check ({_left():.0f}s left); "
@@ -646,7 +667,7 @@ def _run(state):
         _log(f"SKIPPING pipelined protocol ({_left():.0f}s left)")
 
     ok = gate_ok and (headline_ok is None or headline_ok)
-    result = make_result(t, t_pipe, rel_headline, headline_ok, acc_basis)
+    result = make_result(t, t_pipe, rel_headline, headline_ok)
     _set_best(result, 0 if ok else 1)
     return _emit(result, 0 if ok else 1)
 

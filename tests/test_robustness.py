@@ -126,8 +126,13 @@ def test_plan_cache_key_identity_fast_path(rng, monkeypatch):
 
     monkeypatch.setattr(hashlib, "blake2b", counting_blake)
 
+    # The fast path only trusts immutable arrays (jax.Array, or numpy frozen
+    # with writeable=False): a writable ndarray mutated in place would
+    # otherwise return a stale content key and a silently wrong plan.
     pos = _points(rng, 500, 2)
+    pos.flags.writeable = False
     batch = np.zeros((500,), np.int32)
+    batch.flags.writeable = False
     k1 = nfft_mod._plan_cache_key(pos, batch, 16, 4, 2.0, 1, "gaussian")
     assert hashes["n"] == 1
     k2 = nfft_mod._plan_cache_key(pos, batch, 16, 4, 2.0, 1, "gaussian")
@@ -147,6 +152,27 @@ def test_plan_cache_key_identity_fast_path(rng, monkeypatch):
     batch2 = np.ones((500,), np.int32)
     k5 = nfft_mod._plan_cache_key(pos, batch2, 16, 4, 2.0, 1, "gaussian")
     assert k5 != k1
+
+    # WRITABLE arrays must re-hash every call: in-place mutation changes the
+    # plan, and an identity hit would hide it (round-4 ADVICE, medium)
+    posw = _points(rng, 500, 2)
+    h0 = hashes["n"]
+    kw1 = nfft_mod._plan_cache_key(posw, None, 16, 4, 2.0, 1, "gaussian")
+    kw2 = nfft_mod._plan_cache_key(posw, None, 16, 4, 2.0, 1, "gaussian")
+    assert hashes["n"] == h0 + 2  # no identity shortcut for mutable inputs
+    assert kw1 == kw2
+    posw[:] = posw + 0.01  # in-place mutation -> the key must change
+    kw3 = nfft_mod._plan_cache_key(posw, None, 16, 4, 2.0, 1, "gaussian")
+    assert kw3 != kw1
+
+    # jax.Arrays are immutable: identity fast path applies
+    import jax.numpy as jnp
+
+    posj = jnp.asarray(_points(rng, 500, 2))
+    h0 = hashes["n"]
+    nfft_mod._plan_cache_key(posj, None, 16, 4, 2.0, 1, "gaussian")
+    nfft_mod._plan_cache_key(posj, None, 16, 4, 2.0, 1, "gaussian")
+    assert hashes["n"] == h0 + 1
 
 
 # ---------------------------------------------------------------------------

@@ -195,10 +195,14 @@ def clear_plan_cache() -> None:
     _PLAN_ID_CACHE.clear()
 
 
-# Identity fast path over the content-keyed cache: arrays (jax and numpy
-# alike) are treated as immutable here, so seeing the SAME object again means
-# the same content — no O(n) host read needed on repeat eager calls with the
-# same array (at n=16M the content hash below costs ~100 ms/call host-side).
+# Identity fast path over the content-keyed cache: jax.Arrays are immutable,
+# so seeing the SAME object again means the same content — no O(n) host read
+# needed on repeat eager calls with the same array (at n=16M the content hash
+# below costs ~100 ms/call host-side, which is also exactly the large-array
+# case the fast path targets). NumPy arrays are mutable in place and are
+# deliberately NOT identity-cached unless frozen (arr.flags.writeable is
+# False): a caller that mutates pos and calls again would otherwise get a
+# silently stale plan.
 # Maps id(pos) -> (weakref(pos), weakref(batch) | None, params, content_key);
 # the `ref() is pos` identity check makes id-reuse after GC harmless.
 _PLAN_ID_CACHE: OrderedDict = OrderedDict()
@@ -213,9 +217,16 @@ def _plan_cache_key(pos, batch, N, m, sigma, batch_size, window):
     import hashlib
     import weakref
 
+    def _immutable(a):
+        if isinstance(a, jax.Array):
+            return True
+        return isinstance(a, np.ndarray) and not a.flags.writeable
+
     params = (N, m, float(sigma), batch_size, window)
     ent = _PLAN_ID_CACHE.get(id(pos))
-    if ent is not None:
+    if ent is not None and _immutable(pos) and (
+        batch is None or _immutable(batch)
+    ):
         pref, bref, eparams, ckey = ent
         bmatch = (bref is None and batch is None) or (
             bref is not None and bref() is batch)
@@ -229,6 +240,8 @@ def _plan_cache_key(pos, batch, N, m, sigma, batch_size, window):
     if batch is not None:
         h.update(np.ascontiguousarray(np.asarray(batch, np.int32)).tobytes())
     key = (h.digest(), a.shape, N, m, float(sigma), batch_size, window)
+    if not (_immutable(pos) and (batch is None or _immutable(batch))):
+        return key  # mutable inputs: content-hash every call
     try:
         pref = weakref.ref(pos)
         bref = None if batch is None else weakref.ref(batch)

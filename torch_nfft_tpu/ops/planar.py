@@ -51,11 +51,15 @@ __all__ = [
 from .window import DEFAULT_SIGMA, DEFAULT_WINDOW  # noqa: E402
 
 
-def _check_window_match(window, *plans, m=None, M=None):
-    """A plan built for one window family — or one (M, m) geometry — used
-    with another would be silently wrong (a sigma mismatch reproduces the
-    round-4 bench bug: a sigma=2 plan fed to a sigma=1.75 transform ran at
-    full speed and produced garbage) — fail loudly."""
+def _check_window_match(window, *plans, m=None, M=None, sigma=None):
+    """A plan built for one window family — or one (M, m, sigma) geometry —
+    used with another would be silently wrong (a sigma mismatch reproduces
+    the round-4 bench bug: a sigma=2 plan fed to a sigma=1.75 transform ran
+    at full speed and produced garbage) — fail loudly. sigma is compared
+    directly, not only through the derived M: the plan's baked window
+    weights depend on sigma via the es beta, so two (N, sigma) pairs that
+    alias to the same M (e.g. N=16/sigma=2 vs N=20/sigma=1.6) must still be
+    rejected."""
     for p in plans:
         if p is None:
             continue
@@ -75,6 +79,13 @@ def _check_window_match(window, *plans, m=None, M=None):
                 f"plan was built for an oversampled grid M={p.M} but the "
                 f"transform uses M={M} (sigma*N mismatch) — rebuild the "
                 "plan with this N and sigma"
+            )
+        if sigma is not None and p.sigma != float(sigma):
+            raise ValueError(
+                f"plan was built with sigma={p.sigma} but the transform "
+                f"uses sigma={float(sigma)} (same M={p.M}, different N) — "
+                "the plan's window weights depend on sigma; rebuild the "
+                "plan for this (N, sigma)"
             )
 
 
@@ -154,7 +165,7 @@ def nfft_adjoint_planar(
     n, dim = pos.shape
     M = int(round(sigma * N))
     C = x.shape[1]
-    _check_window_match(window, plan, m=m, M=M)
+    _check_window_match(window, plan, m=m, M=M, sigma=sigma)
 
     if M <= PRUNED_MAX:
         # DFT-layout flow: fold-spread straight into (B, L1, .., C, L0)
@@ -221,7 +232,7 @@ def nfft_forward_planar(
     N = xr.shape[1]
     M = int(round(sigma * N))
     C = xr.shape[-1]
-    _check_window_match(window, plan, m=m, M=M)
+    _check_window_match(window, plan, m=m, M=M, sigma=sigma)
 
     if M <= PRUNED_MAX:
         itemsize = jnp.dtype(xr.dtype).itemsize
@@ -341,7 +352,7 @@ def nfft_fastsum_real(
     M = int(round(sigma * N))
     C = x.shape[0] if slot_io else x.shape[1]
     axes = tuple(range(1, dim + 1))
-    _check_window_match(window, source_plan, target_plan, m=m, M=M)
+    _check_window_match(window, source_plan, target_plan, m=m, M=M, sigma=sigma)
 
     if slot_io:
         from .binned import gather_binned_dft_slot, spread_binned_dft_slot
