@@ -85,13 +85,41 @@ def _split(M: int):
 # TPU MXUs multiply f32 operands in bf16 passes by default; the DFT needs
 # high-precision products or the transform error (~4e-3 in bf16) swamps the
 # NFFT window error (~1e-4 at m=4). HIGH = 3-pass bf16 (~f32 accuracy) at
-# half the cost of HIGHEST.
+# half the cost of HIGHEST; its residual rounding floors the TPU pipeline at
+# ~2-3e-5 rel-L2 (BASELINE.md "Window model validation"). HIGHEST (6-pass)
+# buys a tighter floor for users who need tolerances below that — opt in per
+# process via TORCH_NFFT_TPU_DFT_PRECISION=highest (read at trace time;
+# re-jit after changing it).
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
+def matmul_precision() -> jax.lax.Precision:
+    """The DFT matmul precision, from TORCH_NFFT_TPU_DFT_PRECISION
+    (default|high|highest; default "high")."""
+    import os
+
+    name = os.environ.get("TORCH_NFFT_TPU_DFT_PRECISION", "high").lower()
+    try:
+        return _PRECISIONS[name]
+    except KeyError:
+        raise ValueError(
+            f"TORCH_NFFT_TPU_DFT_PRECISION={name!r}; expected one of "
+            f"{sorted(_PRECISIONS)}"
+        ) from None
+
+
+# Backward-compatible module attribute (callers historically imported this
+# constant); the call sites below read matmul_precision() at trace time.
 MATMUL_PRECISION = jax.lax.Precision.HIGH
 
 
 def _mm(a, b):
     return jnp.matmul(
-        a, b, preferred_element_type=a.dtype, precision=MATMUL_PRECISION
+        a, b, preferred_element_type=a.dtype, precision=matmul_precision()
     )
 
 
@@ -225,7 +253,7 @@ def _axis_contract(x, mat, ax: int):
     if post == 1:
         y = _mm(x2[:, :, 0], mat)[:, :, None]
     else:
-        y = jnp.einsum("alq,lj->ajq", x2, mat, precision=MATMUL_PRECISION)
+        y = jnp.einsum("alq,lj->ajq", x2, mat, precision=matmul_precision())
     return y.reshape(out_shape)
 
 
@@ -355,3 +383,330 @@ def spectral_forward_pruned_dft(xr, xi, dim: int, M: int, m: int, sigma: float,
             return rr, None
         xr, xi = _axis_contract_planar(xr, xi, mr, mi, ax)
     return xr, xi
+
+
+# ---------------------------------------------------------------------------
+# Hermitian (real-input) half-spectrum pruned transforms.
+#
+# The adjoint of REAL samples has a conjugate-symmetric spectrum,
+# y[-k] = conj(y[k]) — yet the reference carries the full two-plane spectrum
+# through C2C FFTs in both directions (core_cuda.cu:263,441, despite its
+# README advertising R2C at README.md:15-16). These transforms do what that
+# README only claims: compute and carry ~half the spectral planes.
+#
+# The subtlety is the reference's ASYMMETRIC band k in [-N/2, N/2)^dim: the
+# band is not closed under k -> -k (the -N/2 edge has no +N/2 partner), so a
+# naive rfft-style half would lose the trailing-axis -N/2 planes of the
+# negative-k0 half and land ~percent-level errors. Exact fix used here:
+#
+# * store k0 in {-N/2} u [0, N/2)  (index 0 = -N/2 edge plane, i>=1 -> i-1);
+# * store trailing axes on the EXTENDED band k in [-N/2, N/2] (N+1 values,
+#   index j -> j - N/2): every mirror -k of a stored k0>0 entry then exists;
+# * the forward (half spectrum -> real grid) splits the band sum into a
+#   separable bulk (trailing interior, k0 weights {1,1,2,2,...}) plus pinned
+#   +-N/2 shell corrections, each a rank-1 broadcast along the pinned grid
+#   axis — ~1% of the bulk's work in 3D.
+#
+# MXU-shape notes: the k0 axis splits into a 128-aligned main block plus the
+# single -N/2 edge handled as a VPU reduction / rank-1 update — a 129-wide
+# matmul would pad to two full 128 tiles (or two 128-depth passes on the
+# forward side) and surrender the factor-2 on the axis-0 contractions.
+# ---------------------------------------------------------------------------
+
+
+def _phinv_idx_np(N: int, m: int, sigma: float, window: str, k: np.ndarray):
+    """phi_hat_inv at integer frequencies ``k`` (|k| <= N/2); the +N/2 edge
+    uses the -N/2 value (phi_hat is even)."""
+    from .window import phi_hat_inv_np
+
+    ph = phi_hat_inv_np(N, m, sigma, window)
+    idx = np.where(k == N // 2, 0, k + N // 2)
+    return ph[idx]
+
+
+@lru_cache(maxsize=None)
+def _herm_mats_np(N: int, M: int, m: int, sigma: float, off: int, L: int,
+                  window: str, kind: str):
+    """(cos, sin) float32 blocks of the Hermitian half-spectrum DFT matrices.
+
+    kinds (a = off + [0, L) grid cells; phinv folded into every block):
+      adjoint, sign=+1, shape (L, n_k):
+        'half_main' k in [0, N/2)           'ext' k in [-N/2, N/2]
+      adjoint edge vector, shape (L,): 'half_edge' k = -N/2
+      forward, sign=-1, transposed (n_k, L):
+        'fwd_main' k in [0, N/2) with band weights w(0)=1, w(k>0)=2
+        'fwd_core' k in (-N/2, N/2)
+      forward vectors, shape (L,):
+        'fwd_edge' k = -N/2 (weight 1); 'fwd_pin_m' k = -N/2 pinned trailing;
+        'fwd_pin_p' k = +N/2 pinned trailing
+    """
+    a = np.arange(L, dtype=np.float64) + off
+    h = N // 2
+
+    def block(ks, sign, weights=None, transpose=False):
+        ks = np.asarray(ks, dtype=np.int64)
+        theta = 2.0 * np.pi * np.outer(a, ks.astype(np.float64)) / M
+        ph = _phinv_idx_np(N, m, sigma, window, ks)
+        if weights is not None:
+            ph = ph * weights
+        cr = np.cos(theta) * ph[None, :]
+        ci = np.sin(theta) * sign * ph[None, :]
+        if transpose:
+            cr, ci = np.ascontiguousarray(cr.T), np.ascontiguousarray(ci.T)
+        return cr.astype(np.float32), ci.astype(np.float32)
+
+    if kind == "half_main":
+        return block(np.arange(h), +1)
+    if kind == "ext":
+        return block(np.arange(N + 1) - h, +1)
+    if kind == "half_edge":
+        cr, ci = block([-h], +1)
+        return cr[:, 0], ci[:, 0]
+    if kind == "fwd_main":
+        w = np.where(np.arange(h) > 0, 2.0, 1.0)
+        return block(np.arange(h), -1, weights=w, transpose=True)
+    if kind == "fwd_core":
+        return block(np.arange(1, N) - h, -1, transpose=True)
+    if kind == "fwd_edge":
+        cr, ci = block([-h], -1)
+        return cr[:, 0], ci[:, 0]
+    if kind == "fwd_pin_m":
+        cr, ci = block([-h], -1)
+        return cr[:, 0], ci[:, 0]
+    if kind == "fwd_pin_p":
+        cr, ci = block([h], -1)
+        return cr[:, 0], ci[:, 0]
+    raise ValueError(f"unknown kind {kind!r}")
+
+
+def _edge_reduce(g, vec):
+    """Weighted reduction of the minor axis: (…, L) x (L,) -> (…,). Runs as
+    an f32 multiply+reduce (exact f32 accumulation — no MXU rounding)."""
+    return jnp.einsum("...l,l->...", g, jnp.asarray(vec),
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def spectral_adjoint_half_dft(gr, dim: int, N: int, m: int, sigma: float,
+                              M: int | None = None, cells=None,
+                              window: str = "gaussian"):
+    """REAL DFT-layout grid (B, L_1, ..., L_{dim-1}, C, L_0) -> Hermitian
+    half spectrum (hr, hi), each (B, N/2+1, (N+1,)*(dim-1), C).
+
+    Half-k0 layout: index 0 holds k0 = -N/2, index i >= 1 holds k0 = i - 1.
+    Trailing axes hold the extended band k = j - N/2 for j in [0, N] (the
+    standard centered layout plus one +N/2 tail entry, so every conjugate
+    mirror of the dropped k0 < 0 half exists in storage). Use
+    :func:`half_spectrum_to_full` to materialize the standard full band.
+
+    Same math as :func:`spectral_adjoint_pruned_dft` restricted to the
+    stored frequencies — ~half its matmul FLOPs (the trailing-axis
+    contractions run at half thickness).
+    """
+    if N % 2:
+        raise ValueError("Hermitian half-spectrum path requires even N")
+    M = gr.shape[-1] if M is None else M
+    spec = _cells_spec(dim, M, cells)
+    off0, L0 = spec[0]
+
+    cr, ci = _herm_mats_np(N, M, m, float(sigma), off0, L0, window,
+                           "half_main")
+    hr = _axis_contract(gr, jnp.asarray(cr), gr.ndim - 1)
+    hi = _axis_contract(gr, jnp.asarray(ci), gr.ndim - 1)
+    er, ei = _herm_mats_np(N, M, m, float(sigma), off0, L0, window,
+                           "half_edge")
+    hr = jnp.concatenate([_edge_reduce(gr, er)[..., None], hr], axis=-1)
+    hi = jnp.concatenate([_edge_reduce(gr, ei)[..., None], hi], axis=-1)
+
+    for d in range(1, dim):
+        off, L = spec[d]
+        cr, ci = _herm_mats_np(N, M, m, float(sigma), off, L, window, "ext")
+        hr, hi = _axis_contract_planar(hr, hi, jnp.asarray(cr),
+                                       jnp.asarray(ci), d)
+    perm = [0, hr.ndim - 1] + list(range(1, hr.ndim - 1))
+    return hr.transpose(perm), hi.transpose(perm)
+
+
+def _half_scales(S0: int):
+    """(u/(u+v), v/(u+v)) over the stored k0 axis: u = 1 everywhere (the
+    B-band group), v = 1 only for k0 > 0 (the mirrored -B-band group)."""
+    i = np.arange(S0)
+    w = np.where(i >= 2, 2.0, 1.0)
+    return (1.0 / w).astype(np.float32), (np.where(i >= 2, 1.0, 0.0) / w
+                                          ).astype(np.float32)
+
+
+def spectral_forward_half_dft(hr, hi, dim: int, M: int, m: int, sigma: float,
+                              cells=None, window: str = "gaussian"):
+    """Hermitian half spectrum -> REAL DFT-layout grid (B, L_1, ..., C, L_0).
+
+    Computes Re sum_{k in [-N/2, N/2)^dim} X[k] phi_hat_inv(k)
+    e^{-2 pi i a.k / M} with X[k] = conj(X[-k]) — EXACTLY the asymmetric
+    reference band (core_cuda.cu:405-413): the negative-k0 half folds onto
+    the stored half as doubled weights on the trailing interior plus pinned
+    +-N/2 shell corrections (rank-1 broadcasts along the pinned grid axis).
+    Returns (gr, None) — the real plane only, which is what a real-output
+    gather consumes.
+    """
+    S0 = hr.shape[1]
+    N = 2 * (S0 - 1)
+    spec = _cells_spec(dim, M, cells)
+
+    # (B, S0, e1, ..., C) -> (B, e1, ..., C, S0)
+    perm = [0] + list(range(2, dim + 2)) + [1]
+    hr = hr.transpose(perm)
+    hi = hi.transpose(perm)
+
+    u_scale, v_scale = _half_scales(S0)
+    u_scale = jnp.asarray(u_scale)
+    v_scale = jnp.asarray(v_scale)
+
+    def core_mats(d):
+        off, L = spec[d]
+        cr, ci = _herm_mats_np(N, M, m, float(sigma), off, L, window,
+                               "fwd_core")
+        return jnp.asarray(cr), jnp.asarray(ci)
+
+    def pin_vecs(d, sign_kind):
+        off, L = spec[d]
+        er, ei = _herm_mats_np(N, M, m, float(sigma), off, L, window,
+                               sign_kind)
+        return jnp.asarray(er), jnp.asarray(ei)
+
+    if dim == 1:
+        Wr, Wi = hr, hi
+    elif dim == 2:
+        # pinned trailing points BEFORE the bulk contraction
+        s_m = (hr[:, 0] * u_scale, hi[:, 0] * u_scale)      # (B, C, S0)
+        s_p = (hr[:, N] * v_scale, hi[:, N] * v_scale)
+        cr, ci = core_mats(1)
+        Wr, Wi = _axis_contract_planar(hr[:, 1:N], hi[:, 1:N], cr, ci, 1)
+        e_mr, e_mi = pin_vecs(1, "fwd_pin_m")
+        e_pr, e_pi = pin_vecs(1, "fwd_pin_p")
+        bc = lambda v: v[None, :, None, None]
+        Wr = (Wr + bc(e_mr) * s_m[0][:, None] - bc(e_mi) * s_m[1][:, None]
+              + bc(e_pr) * s_p[0][:, None] - bc(e_pi) * s_p[1][:, None])
+        Wi = (Wi + bc(e_mr) * s_m[1][:, None] + bc(e_mi) * s_m[0][:, None]
+              + bc(e_pr) * s_p[1][:, None] + bc(e_pi) * s_p[0][:, None])
+    elif dim == 3:
+        # slabs (one trailing axis pinned, the other on the open interior)
+        # and corners (both pinned), collected before the bulk contraction
+        s1m = (hr[:, 0, 1:N], hi[:, 0, 1:N])    # (B, N-1, C, S0)
+        s1p = (hr[:, N, 1:N], hi[:, N, 1:N])
+        s2m = (hr[:, 1:N, 0], hi[:, 1:N, 0])    # (B, N-1, C, S0)
+        s2p = (hr[:, 1:N, N], hi[:, 1:N, N])
+        c_m = (hr[:, 0, 0] * u_scale, hi[:, 0, 0] * u_scale)   # (B, C, S0)
+        c_p = (hr[:, N, N] * v_scale, hi[:, N, N] * v_scale)
+
+        cr1, ci1 = core_mats(1)
+        cr2, ci2 = core_mats(2)
+        Wr, Wi = _axis_contract_planar(hr[:, 1:N, 1:N], hi[:, 1:N, 1:N],
+                                       cr1, ci1, 1)
+        Wr, Wi = _axis_contract_planar(Wr, Wi, cr2, ci2, 2)  # (B,L1,L2,C,S0)
+
+        # slab with axis 1 pinned: contract its interior axis 2, scale, then
+        # broadcast the pinned-axis phase along a1
+        def slab(s, scale, other_mats, pin, axis):
+            sr, si = s
+            sr, si = _axis_contract_planar(sr * scale, si * scale,
+                                           *other_mats, 1)  # (B, L_o, C, S0)
+            er, ei = pin
+            if axis == 1:
+                er = er[None, :, None, None, None]
+                ei = ei[None, :, None, None, None]
+                sr, si = sr[:, None], si[:, None]      # (B, 1, L2, C, S0)
+            else:
+                er = er[None, None, :, None, None]
+                ei = ei[None, None, :, None, None]
+                sr, si = sr[:, :, None], si[:, :, None]  # (B, L1, 1, C, S0)
+            return er * sr - ei * si, er * si + ei * sr
+
+        p1m = pin_vecs(1, "fwd_pin_m")
+        p1p = pin_vecs(1, "fwd_pin_p")
+        p2m = pin_vecs(2, "fwd_pin_m")
+        p2p = pin_vecs(2, "fwd_pin_p")
+        for s, scale, mats, pin, axis in (
+            (s1m, u_scale, (cr2, ci2), p1m, 1),
+            (s1p, v_scale, (cr2, ci2), p1p, 1),
+            (s2m, u_scale, (cr1, ci1), p2m, 2),
+            (s2p, v_scale, (cr1, ci1), p2p, 2),
+        ):
+            dr, di = slab(s, scale, mats, pin, axis)
+            Wr = Wr + dr
+            Wi = Wi + di
+
+        # corners: rank-2 broadcast e1(a1) e2(a2) x (B, C, S0)
+        for (pr_, pi_), pin1, pin2 in ((c_m, p1m, p2m), (c_p, p1p, p2p)):
+            fr = pin1[0][:, None] * pin2[0][None, :] - (
+                pin1[1][:, None] * pin2[1][None, :])           # (L1, L2)
+            fi = pin1[0][:, None] * pin2[1][None, :] + (
+                pin1[1][:, None] * pin2[0][None, :])
+            fr = fr[None, :, :, None, None]
+            fi = fi[None, :, :, None, None]
+            pr_ = pr_[:, None, None]
+            pi_ = pi_[:, None, None]
+            Wr = Wr + fr * pr_ - fi * pi_
+            Wi = Wi + fr * pi_ + fi * pr_
+    else:
+        raise ValueError("dim must be 1, 2 or 3")
+
+    # final k0 -> a0 contraction, real plane only: main 128-aligned block
+    # (band weights folded in) plus the -N/2 edge as a rank-1 update
+    off0, L0 = spec[0]
+    mr, mi = _herm_mats_np(N, M, m, float(sigma), off0, L0, window,
+                           "fwd_main")
+    out = _axis_contract(Wr[..., 1:], jnp.asarray(mr), Wr.ndim - 1)
+    out = out - _axis_contract(Wi[..., 1:], jnp.asarray(mi), Wi.ndim - 1)
+    er, ei = _herm_mats_np(N, M, m, float(sigma), off0, L0, window,
+                           "fwd_edge")
+    out = out + (Wr[..., 0:1] * jnp.asarray(er) -
+                 Wi[..., 0:1] * jnp.asarray(ei))
+    return out, None
+
+
+def half_spectrum_to_full(hr, hi, dim: int, N: int):
+    """Hermitian half spectrum (B, N/2+1, (N+1,)*(dim-1), C) -> standard
+    centered full-band planes (B, (N,)*dim, C) (reference layout,
+    frequency k stored at index k + N/2).
+
+    Negative-k0 planes are conjugate mirrors of stored entries; their
+    trailing mirrors -k land inside the extended band by construction
+    (index j -> N - j in [1, N])."""
+    h = N // 2
+    trail = tuple(range(2, 1 + dim))  # trailing spectral axes
+
+    def cut(a):  # trailing ext [0, N+1) -> standard band [0, N)
+        for ax in trail:
+            a = jax.lax.slice_in_dim(a, 0, N, axis=ax)
+        return a
+
+    def mirror(a):  # trailing index j -> N - j, then standard band
+        for ax in trail:
+            a = jnp.flip(a, axis=ax)  # q -> N - q over [0, N]
+        return cut(a)
+
+    upper_r = cut(hr[:, 1:])           # k0 in [0, N/2)
+    upper_i = cut(hi[:, 1:])
+    edge_r = cut(hr[:, 0:1])           # k0 = -N/2
+    edge_i = cut(hi[:, 0:1])
+    # k0 = j0 - N/2 for j0 in [1, N/2): conj of stored i = N/2 - j0 + 1,
+    # descending -> flip the stored axis slice [2, N/2+1)
+    low_r = mirror(jnp.flip(hr[:, 2:], axis=1))
+    low_i = -mirror(jnp.flip(hi[:, 2:], axis=1))
+    return (
+        jnp.concatenate([edge_r, low_r, upper_r], axis=1),
+        jnp.concatenate([edge_i, low_i, upper_i], axis=1),
+    )
+
+
+def full_filter_to_half(coeffs, dim: int, N: int):
+    """Centered full-band filter (N,)*dim -> the half-spectrum sampling
+    (N/2+1, (N+1,)*(dim-1)). Exact for EVEN filters (c[-k] = c[k]), which
+    the fastsum math requires anyway (real even kernel coefficients; the
+    +N/2 trailing tail reuses the -N/2 value)."""
+    f = jnp.asarray(coeffs)
+    f = jnp.concatenate([f[0:1], f[N // 2:]], axis=0)  # half-k0 layout
+    for ax in range(1, dim):
+        f = jnp.concatenate(
+            [f, jax.lax.slice_in_dim(f, 0, 1, axis=ax)], axis=ax
+        )
+    return f

@@ -23,7 +23,11 @@ import jax.numpy as jnp
 from .fft import (
     PRUNED_MAX,
     fftn_planar,
+    full_filter_to_half,
+    half_spectrum_to_full,
+    spectral_adjoint_half_dft,
     spectral_adjoint_pruned_dft,
+    spectral_forward_half_dft,
     spectral_forward_pruned_dft,
 )
 from .spectral import (
@@ -44,11 +48,22 @@ from .tilefold import (
 __all__ = [
     "nfft_adjoint_planar",
     "nfft_forward_planar",
+    "nfft_pair_planar",
     "nfft_fastsum_real",
 ]
 
 # single source of truth for the window defaults: ops/window.py
 from .window import DEFAULT_SIGMA, DEFAULT_WINDOW  # noqa: E402
+
+
+def _hermitian() -> bool:
+    """Whether real-input pipelines exploit spectral conjugate symmetry
+    (half the DFT matmul FLOPs; exact to f32 round-off incl. the asymmetric
+    band's -N/2 edge planes — tests/test_hermitian.py). Read at trace time;
+    TORCH_NFFT_TPU_HERMITIAN=0 opts out (A/B + debugging)."""
+    import os
+
+    return os.environ.get("TORCH_NFFT_TPU_HERMITIAN", "1") != "0"
 
 
 def _check_window_match(window, *plans, m=None, M=None, sigma=None):
@@ -181,6 +196,14 @@ def nfft_adjoint_planar(
                 use_plan, window,
             )
         with jax.named_scope("nfft_fft_rolloff"):
+            if _hermitian() and N % 2 == 0:
+                # real input => Hermitian spectrum: run the half-spectrum
+                # DFTs (~half the matmul FLOPs) and mirror the stored half
+                # onto the full band (cheap N^dim passes).
+                hr, hi = spectral_adjoint_half_dft(
+                    g_dft, dim, N, m, sigma, M=M, cells=cells, window=window
+                )
+                return half_spectrum_to_full(hr, hi, dim, N)
             return spectral_adjoint_pruned_dft(
                 g_dft, None, dim, N, m, sigma, M=M, cells=cells, window=window
             )
@@ -315,6 +338,71 @@ def nfft_forward_planar(
 
 @partial(
     jax.jit,
+    static_argnames=("batch_size", "N", "m", "sigma", "strategy", "window"),
+)
+def nfft_pair_planar(
+    x,
+    pos,
+    batch,
+    plan=None,
+    *,
+    batch_size,
+    N,
+    m,
+    sigma=DEFAULT_SIGMA,
+    strategy="auto",
+    window=DEFAULT_WINDOW,
+):
+    """Adjoint followed by a real-output forward on the same points — the
+    benchmark pair (and a band-limited roundtrip filter). x: (n, C) real;
+    returns (n, C) real.
+
+    Numerically identical to ``nfft_forward_planar(*nfft_adjoint_planar(...),
+    real_output=True)``, but the spectrum travels in the Hermitian HALF
+    representation end to end on the pruned-DFT route: the full N^dim
+    two-plane spectrum is never materialized and the spectral matmuls cost
+    ~half (the reference runs full C2C in both directions,
+    core_cuda.cu:263,441)."""
+    n, dim = pos.shape
+    M = int(round(sigma * N))
+    C = x.shape[1]
+    _check_window_match(window, plan, m=m, M=M, sigma=sigma)
+
+    if M <= PRUNED_MAX and _hermitian() and N % 2 == 0:
+        itemsize = jnp.dtype(x.dtype).itemsize
+        use_plan, cells = _dft_route(plan, C, batch_size, itemsize)
+        with jax.named_scope("pair_spread"):
+            g_dft = _spread_dft(
+                x, pos, batch, plan, batch_size, N, m, sigma, strategy, dim,
+                use_plan, window,
+            )
+        with jax.named_scope("pair_fft_adjoint"):
+            hr, hi = spectral_adjoint_half_dft(
+                g_dft, dim, N, m, sigma, M=M, cells=cells, window=window
+            )
+        with jax.named_scope("pair_fft_forward"):
+            gr_dft, _ = spectral_forward_half_dft(
+                hr, hi, dim, M, m, sigma, cells=cells, window=window
+            )
+        with jax.named_scope("pair_gather"):
+            return _gather_dft(
+                gr_dft, pos, batch, plan, batch_size, N, m, sigma, strategy,
+                use_plan, window,
+            )
+
+    yr, yi = nfft_adjoint_planar(
+        x, pos, batch, plan, batch_size=batch_size, N=N, m=m, sigma=sigma,
+        strategy=strategy, window=window,
+    )
+    zr, _ = nfft_forward_planar(
+        yr, yi, pos, batch, plan, batch_size=batch_size, dim=dim, m=m,
+        sigma=sigma, strategy=strategy, real_output=True, window=window,
+    )
+    return zr
+
+
+@partial(
+    jax.jit,
     static_argnames=("batch_size", "N", "m", "sigma", "strategy", "slot_io", "window"),
 )
 def nfft_fastsum_real(
@@ -339,7 +427,12 @@ def nfft_fastsum_real(
 
     The full pipeline (spread -> IFFT -> band filter -> FFT -> gather) in
     planar arithmetic; the output keeps only the real plane, which is exact
-    for even real coefficients (Gaussian kernels).
+    for even real coefficients (Gaussian kernels). On the pruned-DFT route
+    the spectral round trip additionally runs in the Hermitian HALF
+    representation (~half the DFT matmuls) — exact under the same even-real
+    coefficient contract the fastsum transpose property already requires
+    (reference matrices.py:67-70); TORCH_NFFT_TPU_HERMITIAN=0 restores the
+    full-spectrum path for experiments with non-even filters.
 
     ``slot_io=True`` switches to the slot-layout API for iterated matvecs on
     a fixed point set: ``x`` is a (C, S_src*K) slot vector of the SOURCE
@@ -372,6 +465,27 @@ def nfft_fastsum_real(
                 source_plan, x, batch_size=batch_size,
                 compact=cells_s is not None,
             )
+        if _hermitian() and N % 2 == 0:
+            # real sources + even real coeffs (the fastsum/Gram contract,
+            # matrices.py transpose property): the whole spectral round
+            # trip runs on the Hermitian half representation.
+            with jax.named_scope("fastsum_fft_adjoint"):
+                hr, hi = spectral_adjoint_half_dft(
+                    g_dft, dim, N, m, sigma, M=M, cells=cells_s,
+                    window=window,
+                )
+            with jax.named_scope("fastsum_kernel_convolution"):
+                ch = full_filter_to_half(coeffs, dim, N)[None, ..., None]
+                hr = hr * ch
+                hi = hi * ch
+            with jax.named_scope("fastsum_fft_forward"):
+                gr_dft, _ = spectral_forward_half_dft(
+                    hr, hi, dim, M, m, sigma, cells=cells_t, window=window
+                )
+            with jax.named_scope("fastsum_gather"):
+                return gather_binned_dft_slot(
+                    target_plan, gr_dft, compact=cells_t is not None
+                )
         with jax.named_scope("fastsum_fft_adjoint"):
             sr, si = spectral_adjoint_pruned_dft(
                 g_dft, None, dim, N, m, sigma, M=M, cells=cells_s, window=window
@@ -407,6 +521,26 @@ def nfft_fastsum_real(
                 x, sources, source_batch, source_plan,
                 batch_size, N, m, sigma, strategy, dim, use_s, window,
             )
+        if _hermitian() and N % 2 == 0:
+            # Hermitian half round trip (see the slot_io branch above).
+            with jax.named_scope("fastsum_fft_adjoint"):
+                hr, hi = spectral_adjoint_half_dft(
+                    g_dft, dim, N, m, sigma, M=M, cells=cells_s,
+                    window=window,
+                )
+            with jax.named_scope("fastsum_kernel_convolution"):
+                ch = full_filter_to_half(coeffs, dim, N)[None, ..., None]
+                hr = hr * ch
+                hi = hi * ch
+            with jax.named_scope("fastsum_fft_forward"):
+                gr_dft, _ = spectral_forward_half_dft(
+                    hr, hi, dim, M, m, sigma, cells=cells_t, window=window
+                )
+            with jax.named_scope("fastsum_gather"):
+                return _gather_dft(
+                    gr_dft, targets, target_batch, target_plan,
+                    batch_size, N, m, sigma, strategy, use_t, window,
+                )
         with jax.named_scope("fastsum_fft_adjoint"):
             sr, si = spectral_adjoint_pruned_dft(
                 g_dft, None, dim, N, m, sigma, M=M, cells=cells_s, window=window
