@@ -446,7 +446,7 @@ def _run(state):
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-    from torch_nfft_tpu.ops.planar import nfft_adjoint_planar, nfft_forward_planar
+    from torch_nfft_tpu.ops.planar import nfft_pair_planar
 
     # --- stage 1: accuracy gates (dense-oracle small configs) ------------
     # 2D N=16 (continuity with earlier rounds) + dim-matched 3D N=32: the
@@ -533,13 +533,12 @@ def _run(state):
                  f"{benes_budget}s needed (sort permutations instead)")
 
     def pair(x, pos, batch, plan):
-        yr, yi = nfft_adjoint_planar(
+        # adjoint + real-output forward with the spectrum in the Hermitian
+        # half representation end to end (numerically identical to the
+        # adjoint->forward composition; tests/test_hermitian.py)
+        zr = nfft_pair_planar(
             x, pos, batch, plan, batch_size=1, N=N, m=m, sigma=sigma,
             strategy=strategy, window=window,
-        )
-        zr, _ = nfft_forward_planar(
-            yr, yi, pos, batch, plan, batch_size=1, dim=dim, m=m, sigma=sigma,
-            strategy=strategy, real_output=True, window=window,
         )
         # scalar so timing can force a host read (lazy backends make
         # block_until_ready unreliable)
