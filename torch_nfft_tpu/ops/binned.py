@@ -136,6 +136,11 @@ class BinnedPlan:
     # per trailing column — ~3x faster than the lax.sort path per column;
     # see ops/pallas/benes.py)
     benes: object = None  # BenesTables | None (pytree child)
+    # number of occupied (batch, tile) groups among the valid rows — static,
+    # set by the builders. The row-batched Pallas spread sizes its exact
+    # overflow scatter from S - S_occ (rows beyond the first of each tile);
+    # None (legacy/stacked plans) disables the row-batched path.
+    S_occ: int | None = None
 
     @property
     def M(self) -> int:
@@ -169,12 +174,14 @@ class BinnedPlan:
         aux = (
             self.n, self.dim, self.N, self.m, self.sigma, self.T, self.K,
             self.batch_size, self.pos_fp, self.window, self.active,
+            self.S_occ,
         )
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children[:6], *aux, benes=children[6])
+        return cls(*children[:6], *aux[:11], benes=children[6],
+                   S_occ=aux[11] if len(aux) > 11 else None)
 
     def with_benes_tables(self, block_log2: int = 18, compact: bool = True,
                           pos=None, batch=None) -> "BinnedPlan":
@@ -195,6 +202,22 @@ class BinnedPlan:
         return replace(self, benes=plan_benes_tables(
             self, block_log2=block_log2, compact=compact, pos=pos,
             batch=batch))
+
+
+def _count_row_groups(origin_np, row_batch_np, row_count_np) -> int:
+    """Number of occupied (batch, tile) groups among the valid rows — the
+    static S_occ the row-batched spread sizes its overflow scatter from.
+    Rows are grouped by (batch, tile) (plan order), so a group starts
+    wherever the key differs from the previous row's."""
+    valid = np.asarray(row_count_np) > 0
+    key = np.concatenate(
+        [np.asarray(row_batch_np)[:, None], np.asarray(origin_np)], axis=1
+    )
+    if key.shape[0] == 0:
+        return 0
+    d = np.any(key[1:] != key[:-1], axis=1)
+    first = np.concatenate([[True], d]) & valid
+    return int(first.sum())
 
 
 def position_fingerprint(pos, M: int, m: int) -> int:
@@ -406,6 +429,7 @@ def build_plan(
             batch_size=int(batch_size),
             pos_fp=position_fingerprint(pos, M, m),
             active=_active_runs(origin, T, M, dim) if M % T == 0 else None,
+            S_occ=_count_row_groups(origin, row_batch, row_count),
         )
 
     # window start cell, wrapped; tile index and tile id per point
@@ -481,6 +505,7 @@ def build_plan(
         batch_size=int(batch_size),
         pos_fp=position_fingerprint(pos, M, m),
         active=_active_runs(origin, T, M, dim) if M % T == 0 else None,
+        S_occ=len(uniq),
     )
 
 
@@ -709,6 +734,7 @@ def _finish_plan_device(
         batch_size=int(batch_size),
         pos_fp=None,
         active=_active_runs(origin, T, M, dim) if M % T == 0 else None,
+        S_occ=len(uniq),
     )
 
 
@@ -953,6 +979,67 @@ def _use_pallas(plan: BinnedPlan, C: int, dtype) -> bool:
     return pallas_supported(plan, C)
 
 
+def _row_batch(plan: BinnedPlan, C: int) -> int:
+    """Rows per grid step for the row-batched Pallas engines (0 = per-row
+    kernels). The per-row kernels pay ~1 us of fixed step cost per plan row
+    (small DMAs + pipeline overhead); batching R rows per step amortizes it
+    (ops/pallas/contract.py row-batched section). Bounded by a VMEM
+    estimate; TORCH_NFFT_TPU_ROW_BATCH forces a value (0 disables)."""
+    env = os.environ.get("TORCH_NFFT_TPU_ROW_BATCH", "auto")
+    if env == "0":
+        return 0
+    if plan.dim not in (2, 3) or plan.K % 128 or plan.K > 1024:
+        return 0
+    R = 8 if env in ("auto", "") else int(env)
+    G = -(-plan.H // 8) * 8
+    W2 = plan.H ** (plan.dim - 1)
+    while R > 1:
+        lanes = R * plan.K
+        # double-buffered data block + fused window batch + KR/dot
+        # transients + double-buffered output block
+        est = (
+            2 * (C + plan.dim) * lanes * 4
+            + plan.dim * G * lanes * 4
+            + 2 * W2 * plan.K * 4
+            + 2 * R * C * plan.H * W2 * 4
+        )
+        if est <= (10 << 20):
+            break
+        R //= 2
+    return 0 if R <= 1 else R
+
+
+def _dense_from_rowtiles(plan: BinnedPlan, rowtiles, tid, NT: int):
+    """Compose the dense tile array (NT, C, H, W2) from per-row tiles
+    (S, C, H, W2): a take of each tile's FIRST row plus an exact overflow
+    scatter-add of the remaining rows (statically S - S_occ of them — at
+    the 3D headline ~11% of rows, ~20 MB, vs scatter-adding all 175 MB).
+    Unoccupied tiles read an appended zero row."""
+    S = rowtiles.shape[0]
+    valid = plan.row_count > 0
+    prev_valid = jax.lax.cummax(
+        jnp.where(valid, jnp.arange(S, dtype=jnp.int32), 0)
+    )
+    tid = jnp.take(tid, prev_valid)  # padded rows point at their predecessor
+    first = valid & jnp.concatenate(
+        [jnp.ones((1,), bool), tid[1:] != tid[:-1]]
+    )
+    zero = jnp.zeros((1,) + rowtiles.shape[1:], rowtiles.dtype)
+    rt = jnp.concatenate([rowtiles, zero], axis=0)  # (S+1, ...)
+    primary = (
+        jnp.full((NT,), S, jnp.int32)
+        .at[jnp.where(first, tid, NT)]
+        .set(jnp.arange(S, dtype=jnp.int32), mode="drop")
+    )
+    dense = jnp.take(rt, primary, axis=0)  # (NT, C, H, W2)
+    OV = S - plan.S_occ
+    if OV > 0:
+        ov = jnp.nonzero(~first, size=OV, fill_value=S)[0]
+        ov_t = jnp.take(tid, jnp.minimum(ov, S - 1))
+        dense = dense.at[ov_t].add(jnp.take(rt, ov, axis=0))
+    return dense
+
+
 def _tile_chunk_rows(S: int, H: int, dim: int, C: int) -> int:
     """Row chunk for windowed tile placement: the (Rc, 1, C, (H,)*dim)
     update/output arrays pay ~6.5x TPU layout padding on the (H, H) minor
@@ -976,11 +1063,25 @@ def _dense_tiles_pallas(plan: BinnedPlan, x, pos, batch_size: int, compact=False
     if NT is None:
         NT = batch_size * math.prod(a for _, a in active_axes(plan, compact))
     S = plan.slot_pt.shape[0]
+    tid_overridden = tid is not None
     if tid is None:
         tid = row_tile_ids(plan, compact)
     # Padded rows (row_count == 0, e.g. from plan_stack.pad_plan_rows) must
     # not re-open an already-flushed tile block: repoint each at the nearest
     # PRECEDING real row's tile — they contribute exact zeros to it.
+    # Row-batched route: only for the plan's own grouped tile ids (an
+    # override — grid-sharded local slabs — may clamp non-adjacent groups
+    # onto one id, breaking the first-row composition).
+    R = _row_batch(plan, C)
+    if R and plan.S_occ is not None and not tid_overridden:
+        from .pallas.contract import spread_tiles_rb_pallas
+
+        rowtiles = spread_tiles_rb_pallas(
+            plan, None if x is None else x.astype(jnp.float32), pos, C=C,
+            R=R, x_slot=x_slot,
+        )  # (S, C, H, W2)
+        acc4 = _dense_from_rowtiles(plan, rowtiles, tid, NT)
+        return acc4.reshape(NT, C * H**dim).astype(out_dtype)
     valid = plan.row_count > 0
     prev_valid = jax.lax.cummax(
         jnp.where(valid, jnp.arange(S, dtype=jnp.int32), 0)
@@ -1388,15 +1489,37 @@ def _tiles_from_flat(plan: BinnedPlan, g_flat):
     return tiles, None
 
 
+def _gather_from_dense(plan: BinnedPlan, tiles_dense, C: int, tid):
+    """(S, C, K) slot values from the dense tile array: the row-batched
+    kernel off a row-order take of the tiles when enabled, else the per-row
+    kernel reading the dense array through its prefetched tile index."""
+    from .pallas.contract import gather_points_pallas, gather_points_rb_pallas
+
+    R = _row_batch(plan, C)
+    if R:
+        S = plan.slot_pt.shape[0]
+        S_pad = -(-S // R) * R
+        tid_p = jnp.pad(tid, (0, S_pad - S))
+        rows = jnp.take(tiles_dense.astype(jnp.float32), tid_p, axis=0)
+        return gather_points_rb_pallas(plan, rows, C=C, R=R)
+    return gather_points_pallas(
+        plan, tiles_dense.astype(jnp.float32), None, C=C, tile_index=tid
+    )
+
+
 def _gather_pallas(plan: BinnedPlan, g_flat, pos):
     from .pallas.contract import _unslot_values, gather_points_pallas
 
     C = g_flat.shape[1]
     S, K = plan.slot_pt.shape
     tiles, tile_index = _tiles_from_flat(plan, g_flat)
-    y = gather_points_pallas(
-        plan, tiles, pos, C=C, tile_index=tile_index
-    )  # (S, C, K)
+    if tile_index is not None:
+        y = _gather_from_dense(plan, tiles, C, tile_index)
+    else:
+        # windowed fallback produced per-row tiles already
+        y = gather_points_pallas(
+            plan, tiles, pos, C=C, tile_index=tile_index
+        )  # (S, C, K)
     out = jnp.swapaxes(y, 1, 2).reshape(S * K, C).astype(g_flat.dtype)
     return _unslot_values(plan, out, plan.n)
 
@@ -1453,15 +1576,14 @@ def _gather_dft_xla(plan: BinnedPlan, g_dft, pos, compact=False):
 
 
 def _gather_dft_pallas(plan: BinnedPlan, g_dft, pos, compact=False):
-    from .pallas.contract import _unslot_values, gather_points_pallas
+    from .pallas.contract import _unslot_values
 
     batch_size = g_dft.shape[0]
     C = g_dft.shape[-2]
     S, K = plan.slot_pt.shape
     tiles_dense = unfold_grid_to_tiles_dft(g_dft, plan, batch_size, compact)
-    y = gather_points_pallas(
-        plan, tiles_dense.astype(jnp.float32), pos, C=C,
-        tile_index=row_tile_ids(plan, compact),
+    y = _gather_from_dense(
+        plan, tiles_dense, C, row_tile_ids(plan, compact)
     )  # (S, C, K)
     out = jnp.swapaxes(y, 1, 2).reshape(S * K, C).astype(g_dft.dtype)
     return _unslot_values(plan, out, plan.n)
@@ -1520,15 +1642,12 @@ def _spread_dft_slot(plan: BinnedPlan, x_slot, batch_size: int, compact):
 
 
 def _gather_dft_slot(plan: BinnedPlan, g_dft, compact):
-    from .pallas.contract import gather_points_pallas
-
     batch_size = g_dft.shape[0]
     C = g_dft.shape[-2]
     S, K = plan.slot_pt.shape
     tiles_dense = unfold_grid_to_tiles_dft(g_dft, plan, batch_size, compact)
-    y = gather_points_pallas(
-        plan, tiles_dense.astype(jnp.float32), None, C=C,
-        tile_index=row_tile_ids(plan, compact),
+    y = _gather_from_dense(
+        plan, tiles_dense, C, row_tile_ids(plan, compact)
     )  # (S, C, K)
     return jnp.swapaxes(y, 0, 1).reshape(C, S * K).astype(g_dft.dtype)
 

@@ -373,7 +373,7 @@ def spread_tiles_dense_pallas(plan, x, pos, *, C, tile_index, NT, x_slot=None):
         grid=(S,),
         in_specs=[
             pl.BlockSpec((F, K), lambda s, *_: (0, s), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # aliased zeros, unread
+            pl.BlockSpec(memory_space=pl.ANY),  # aliased zeros, unread
         ],
         out_specs=pl.BlockSpec(
             (1, C, H, W2),
@@ -847,3 +847,275 @@ def pos_grad_pallas(plan, tiles, w, *, C, tile_index=None, w_slot=None):
         tiles,
         data,
     )
+
+
+# ---------------------------------------------------------------------------
+# Row-batched kernels: R plan rows per grid step.
+#
+# The per-row kernels above are step-overhead-bound (~1 us per grid step on
+# v5e — small per-step DMAs + pipeline fixed cost; measured in BASELINE.md
+# round-4, ~40 ms of the 110 ms headline pair across both sides). These
+# variants amortize that cost: one (F, R*K) input DMA covers R rows, the
+# window evaluation for all R rows runs as ONE fused (dim*G, R*K) vector
+# batch (per-lane tile origins), and the dots unroll over the R rows inside
+# the step. Outputs are per-ROW tiles (R, C, H, W2) per step — the dense
+# accumulation moves out of the kernel into an exact take + tiny overflow
+# scatter (ops/binned.py:_dense_from_rowtiles), sized statically from the
+# plan's S_occ group count.
+#
+# The grid ceil-divides S; the ragged last block's out-of-bounds lanes are
+# masked AND the coordinates selected to 0.0 first (OOB VMEM reads are
+# undefined bits — a NaN there would poison the dot through 0*NaN).
+# ---------------------------------------------------------------------------
+
+
+def _windows_fused_lanes(pd, org_lane, M, m, H, phi):
+    """:func:`_windows_fused` with per-LANE tile origins: the lane axis
+    concatenates R rows' K-chunks, each with its own origin. Same math,
+    same single fused vector batch."""
+    D, Lt = pd.shape
+    G = -(-H // 8) * 8
+    L = 2 * m + 2
+    scaled = pd * M
+    fl = jnp.floor(scaled)
+    frac = scaled - fl
+    s_mod = (fl.astype(jnp.int32) - m) % M
+    o = (s_mod - org_lane) % M  # (D, Lt), in [0, T)
+    o_r = jnp.concatenate(
+        [jnp.broadcast_to(o[d : d + 1], (G, Lt)) for d in range(D)], axis=0
+    )
+    frac_r = jnp.concatenate(
+        [jnp.broadcast_to(frac[d : d + 1], (G, Lt)) for d in range(D)], axis=0
+    )
+    u = jax.lax.broadcasted_iota(jnp.int32, (D * G, Lt), 0) % G
+    rel = u - o_r
+    t = frac_r + (m - rel).astype(frac_r.dtype)
+    vals = phi(t)
+    vals = jnp.where((rel >= 0) & (rel < L), vals, 0.0)
+    return [vals[d * G : d * G + H] for d in range(D)]
+
+
+def _rb_lane_tables(s, R, K, dim, lane, row_count_ref, org_refs):
+    """Per-lane origin rows (dim, R*K) + the valid-lane cutoff (1, R*K)
+    (lane < cutoff iff the lane's slot is filled), built from the R per-row
+    SMEM scalars of this step."""
+    Lt = R * K
+    orgs = [jnp.zeros((1, Lt), jnp.int32) for _ in range(dim)]
+    cut = jnp.zeros((1, Lt), jnp.int32)
+    for r in range(R):
+        in_r = (lane >= r * K) & (lane < (r + 1) * K)
+        cut = jnp.where(in_r, row_count_ref[s * R + r] + r * K, cut)
+        for d in range(dim):
+            orgs[d] = jnp.where(in_r, org_refs[d][s * R + r], orgs[d])
+    return jnp.concatenate(orgs, axis=0), cut
+
+
+def _spread_rb_kernel(
+    row_count_ref,  # scalar prefetch (S_pad,)
+    org0_ref,
+    org1_ref,
+    org2_ref,
+    data_ref,  # (F, R*K) block: rows [0:C]=x columns, [C:C+dim]=coords
+    out_ref,  # (R, C, H, H^{dim-1}) block — per-ROW tiles
+    *,
+    R,
+    K,
+    C,
+    H,
+    M,
+    m,
+    phi,
+    dim,
+    SK,
+):
+    s = pl.program_id(0)
+    Lt = R * K
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, Lt), 1)
+    lane_ok = lane + s * Lt < SK
+    org_lane, cut = _rb_lane_tables(
+        s, R, K, dim, lane, row_count_ref, (org0_ref, org1_ref, org2_ref)
+    )
+    fm = ((lane < cut) & lane_ok).astype(jnp.float32)  # (1, Lt)
+    pd = data_ref[C : C + dim, :]
+    pd = jnp.where(lane_ok, pd, 0.0)  # OOB tail lanes: undefined bits
+    A = _windows_fused_lanes(pd, org_lane, M, m, H, phi)
+    for r in range(R):
+        sl = r * K
+        Ar = [a[:, sl : sl + K] for a in A]
+        for c in range(C):
+            xw = data_ref[c : c + 1, sl : sl + K] * fm[:, sl : sl + K]
+            out_ref[r, c] = _spread_row_tile(Ar, xw, H, dim)
+
+
+def spread_tiles_rb_pallas(plan, x, pos, *, C, R, x_slot=None):
+    """Row-batched fused spread contraction: (n, C) points -> per-ROW tiles
+    (S, C, H, H^{dim-1}) with R rows per grid step. Same math as
+    :func:`spread_tiles_pallas`; ops/binned.py composes the dense tile array
+    from these rows (take of each tile's first row + exact overflow
+    scatter). Requires K <= the lane chunk (1024)."""
+    S, K = plan.slot_pt.shape
+    H, M, m = plan.H, plan.M, plan.m
+    W2 = H ** (plan.dim - 1)
+    phi = window_value_fn(m, plan.sigma, plan.window)
+
+    vals = (
+        x_slot.astype(jnp.float32)
+        if x_slot is not None
+        else _slot_values(plan, x.astype(jnp.float32))
+    )
+    data = jnp.concatenate([vals, plan.slot_pos], axis=0)
+    F = data.shape[0]
+    n_steps = -(-S // R)
+    S_pad = n_steps * R
+    rc = jnp.pad(plan.row_count, (0, S_pad - S))
+    o0, o1, o2 = (jnp.pad(v, (0, S_pad - S)) for v in _origin_args(plan))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec(
+                (F, R * K), lambda s, *_: (0, s), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (R, C, H, W2), lambda s, *_: (s, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    kernel = functools.partial(
+        _spread_rb_kernel, R=R, K=K, C=C, H=H, M=M, m=m, phi=phi,
+        dim=plan.dim, SK=S * K,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((S_pad, C, H, W2), jnp.float32),
+        interpret=_interpret(),
+    )(rc, o0, o1, o2, data)
+    return out[:S]
+
+
+def _gather_rb_kernel(
+    row_count_ref,
+    org0_ref,
+    org1_ref,
+    org2_ref,
+    tiles_ref,  # (R, C, H, H^{dim-1}) block — per-row tile reads
+    data_ref,  # (dim, R*K) block: slot coordinates
+    y_ref,  # (R, C, K) block
+    *,
+    R,
+    K,
+    C,
+    H,
+    M,
+    m,
+    phi,
+    dim,
+    SK,
+):
+    s = pl.program_id(0)
+    Lt = R * K
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, Lt), 1)
+    lane_ok = lane + s * Lt < SK
+    org_lane, cut = _rb_lane_tables(
+        s, R, K, dim, lane, row_count_ref, (org0_ref, org1_ref, org2_ref)
+    )
+    fm = ((lane < cut) & lane_ok).astype(jnp.float32)
+    pd = data_ref[0:dim, :]
+    pd = jnp.where(lane_ok, pd, 0.0)
+    A = _windows_fused_lanes(pd, org_lane, M, m, H, phi)
+
+    mode = kernel_precision()
+    bf = mode == "bf16kr"
+    prec = (
+        jax.lax.Precision.DEFAULT
+        if mode in ("bf16kr", "default")
+        else jax.lax.Precision.HIGHEST
+    )
+    dn = (((1,), (0,)), ((), ()))
+    for r in range(R):
+        sl = r * K
+        Ar = [a[:, sl : sl + K] for a in A]
+        fmr = fm[:, sl : sl + K]
+        if dim == 1:
+            for c in range(C):
+                G = tiles_ref[r, c]  # (H, 1)
+                yk = jnp.sum(Ar[0] * G, axis=0, keepdims=True) * fmr
+                y_ref[r, c : c + 1, :] = yk
+            continue
+        if dim == 3:
+            B = (
+                _khatri_rao(
+                    Ar[1].astype(jnp.bfloat16), Ar[2].astype(jnp.bfloat16), H
+                )
+                if bf
+                else _khatri_rao(Ar[1], Ar[2], H)
+            )
+        else:
+            B = Ar[1].astype(jnp.bfloat16) if bf else Ar[1]
+        for c in range(C):
+            G = tiles_ref[r, c]  # (H, H^{dim-1})
+            if mode == "high3":
+                sG = _dot_high3(G, B, dn)
+            else:
+                sG = jax.lax.dot_general(
+                    G.astype(jnp.bfloat16) if bf else G,
+                    B,
+                    dimension_numbers=dn,
+                    preferred_element_type=jnp.float32,
+                    precision=prec,
+                )  # (H, K)
+            yk = jnp.sum(Ar[0] * sG, axis=0, keepdims=True) * fmr
+            y_ref[r, c : c + 1, :] = yk
+
+
+def gather_points_rb_pallas(plan, tiles_rows, *, C, R):
+    """Row-batched fused point interpolation: per-row tile reads
+    (S_pad, C, H, H^{dim-1}) -> (S, C, K) slot values, R rows per grid step.
+    ``tiles_rows`` is the dense tile array already expanded to row order
+    (one take per transform; ops/binned.py)."""
+    S, K = plan.slot_pt.shape
+    H, M, m = plan.H, plan.M, plan.m
+    W2 = H ** (plan.dim - 1)
+    phi = window_value_fn(m, plan.sigma, plan.window)
+
+    data = plan.slot_pos
+    F = data.shape[0]
+    n_steps = -(-S // R)
+    S_pad = n_steps * R
+    if tiles_rows.shape[0] != S_pad:
+        raise ValueError(
+            f"tiles_rows has {tiles_rows.shape[0]} rows, expected {S_pad}"
+        )
+    rc = jnp.pad(plan.row_count, (0, S_pad - S))
+    o0, o1, o2 = (jnp.pad(v, (0, S_pad - S)) for v in _origin_args(plan))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec(
+                (R, C, H, W2), lambda s, *_: (s, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (F, R * K), lambda s, *_: (0, s), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (R, C, K), lambda s, *_: (s, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    kernel = functools.partial(
+        _gather_rb_kernel, R=R, K=K, C=C, H=H, M=M, m=m, phi=phi,
+        dim=plan.dim, SK=S * K,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((S_pad, C, K), jnp.float32),
+        interpret=_interpret(),
+    )(rc, o0, o1, o2, tiles_rows, data)
+    return out[:S]

@@ -23,7 +23,7 @@ import json
 import jax.numpy as jnp
 import numpy as np
 
-from .binned import BinnedPlan
+from .binned import BinnedPlan, _count_row_groups
 
 __all__ = ["save_plan", "load_plan"]
 
@@ -64,6 +64,7 @@ def save_plan(path, plan: BinnedPlan) -> None:
         "pos_fp": plan.pos_fp,
         "window": plan.window,
         "active": plan.active,
+        "S_occ": plan.S_occ,
     }
     arrays = {name: np.asarray(getattr(plan, name)) for name in _ARRAY_FIELDS}
     for name in _HOST_FIELDS:
@@ -152,4 +153,14 @@ def load_plan(path) -> BinnedPlan:
         order=host["order"],
         row_start=host["row_start"],
         benes=benes,
+        # files predating S_occ recompute it from the row tables (cheap,
+        # host-side) so loaded plans keep the row-batched engine
+        S_occ=(
+            int(meta["S_occ"])
+            if meta.get("S_occ") is not None
+            else _count_row_groups(
+                np.asarray(raw["origin"]), np.asarray(raw["row_batch"]),
+                np.asarray(raw["row_count"]),
+            )
+        ),
     )

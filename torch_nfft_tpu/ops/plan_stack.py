@@ -66,6 +66,9 @@ def pad_plan_rows(plan: BinnedPlan, S_target: int) -> BinnedPlan:
         pos_fp=plan.pos_fp,
         window=plan.window,
         active=plan.active,
+        # appended rows are invalid (row_count == 0): the group count among
+        # valid rows is unchanged
+        S_occ=plan.S_occ,
     )
 
 
@@ -110,6 +113,9 @@ def stack_plans(plans: list[BinnedPlan]) -> BinnedPlan:
         active=merge_active_runs(
             [p.active for p in plans], p0.M // p0.T, p0.dim
         ),
+        # S_occ differs per member; a traced member index cannot carry a
+        # static value, so stacked plans run the per-row engines
+        S_occ=None,
     )
 
 
