@@ -387,6 +387,14 @@ def _run(state):
     warm = n_cached >= 10
     _log(f"compile cache: {cache_dir} ({n_cached} entries, "
          f"{'warm' if warm else 'COLD — expect remote compiles'})")
+    # drift guard: Pallas cache entries embed source locations, so a stamp
+    # mismatch means the committed cache will MISS on the hot programs
+    from torch_nfft_tpu.utils.cache_guard import check as _cache_check
+
+    cache_ok, cache_msg = _cache_check(cache_dir)
+    _log(("" if cache_ok else "WARNING: ") + cache_msg)
+    if not cache_ok:
+        warm = False  # budget the stages as a cold run
 
     n = int(os.environ.get("BENCH_N_POINTS", 1 << 24))
     N = int(os.environ.get("BENCH_BANDWIDTH", 256))
@@ -664,6 +672,15 @@ def _run(state):
         t = min(t_serial, t_pipe)
     elif pipe > 1:
         _log(f"SKIPPING pipelined protocol ({_left():.0f}s left)")
+
+    # successful run: the cache now holds executables for exactly these
+    # sources — stamp it so the drift guard can certify freshness
+    try:
+        from torch_nfft_tpu.utils.cache_guard import write_stamp
+
+        write_stamp(cache_dir)
+    except OSError as e:
+        _log(f"cache stamp write failed: {e}")
 
     ok = gate_ok and (headline_ok is None or headline_ok)
     result = make_result(t, t_pipe, rel_headline, headline_ok)

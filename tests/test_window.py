@@ -403,3 +403,142 @@ def test_es_other_dims(rng, dim, N):
                         strategy="binned")
     yr = tn.ndft_adjoint(x, pos, N=N)
     assert _rel(y, yr) < 5e-5
+
+
+# ---------------------------------------------------------------------------
+# Kaiser-Bessel window family
+# ---------------------------------------------------------------------------
+
+
+def test_kb_beats_es_at_m2():
+    """The draw of kb: ~2x better accuracy than es at m=2 across sigma
+    (CPU oracle; the sigma lever's enabling fact for sigma <= 1.5)."""
+    import jax.numpy as jnp
+
+    from torch_nfft_tpu.ops.planar import nfft_adjoint_planar
+
+    def gate(window, sigma, m, dim=2, N=32, n=400):
+        rng = np.random.default_rng(0)
+        pos = (rng.random((n, dim), dtype=np.float32) - 0.5)
+        pos /= 4 * np.abs(pos).max()
+        x = rng.standard_normal((n, 2)).astype(np.float32)
+        batch = np.zeros((n,), np.int32)
+        yr, yi = nfft_adjoint_planar(
+            jnp.asarray(x), jnp.asarray(pos), jnp.asarray(batch),
+            batch_size=1, N=N, m=m, sigma=sigma, window=window,
+        )
+        got = np.asarray(yr)[0] + 1j * np.asarray(yi)[0]
+        k = np.arange(N) - N // 2
+        grids = np.meshgrid(*([k] * dim), indexing="ij")
+        phase = np.zeros((N**dim, n))
+        for d in range(dim):
+            phase = phase + grids[d].reshape(-1, 1) * pos[:, d]
+        ref = (np.exp(2j * np.pi * phase) @ x.astype(np.complex128))
+        ref = ref.reshape(got.shape)
+        return float(np.linalg.norm(got - ref) / np.linalg.norm(ref))
+
+    for sigma in (2.0, 1.5):
+        kb = gate("kb", sigma, 2)
+        es = gate("es", sigma, 2)
+        assert kb < es  # sharper spectral decay
+        assert kb < 5e-5
+
+
+def test_kb_i0_i1_match_reference():
+    import jax.numpy as jnp
+    from scipy import special  # available transitively? fall back below
+
+    from torch_nfft_tpu.ops.window import _i0, _i1
+
+    # f32 evaluation (the kernels' dtype): A&S approximation error ~1e-7
+    # plus f32 rounding of exp(x) for x up to ~30
+    x = np.linspace(0.0, 30.0, 200)
+    got0 = np.asarray(_i0(jnp.asarray(x, jnp.float32))).astype(np.float64)
+    ref0 = np.i0(x)
+    np.testing.assert_allclose(got0, ref0, rtol=1e-5)
+    got1 = np.asarray(_i1(jnp.asarray(x, jnp.float32))).astype(np.float64)
+    ref1 = special.i1(x)
+    np.testing.assert_allclose(got1, ref1, rtol=1e-5, atol=1e-12)
+
+
+def test_kb_deriv_matches_finite_difference():
+    import jax.numpy as jnp
+
+    from torch_nfft_tpu.ops.window import (
+        window_value_and_deriv_fn,
+        window_value_fn,
+    )
+
+    from scipy import special
+
+    from torch_nfft_tpu.ops.window import kb_beta
+
+    m, sigma, M = 3, 1.5, 48
+    w = m + 1.0
+    beta = kb_beta(m, sigma)
+    pair = window_value_and_deriv_fn(m, sigma, "kb", M=M)
+    t64 = np.linspace(-m - 0.8, m + 0.8, 301)
+    vals, dvals = pair(jnp.asarray(t64, jnp.float32))
+
+    # float64 numpy reference of the same formulas
+    s = np.sqrt(np.maximum(1.0 - (t64 / w) ** 2, 0.0))
+    inside = 1.0 - (t64 / w) ** 2 > 0
+    ref_v = np.where(inside, np.i0(beta * s) / np.i0(beta), 0.0)
+    ref_d = np.where(
+        inside,
+        -beta * M * t64 / (w * w * np.maximum(s, 1e-12))
+        * special.i1(beta * s) / np.i0(beta),
+        0.0,
+    )
+    # the analytic formula itself, checked by f64 finite differences
+    eps = 1e-7
+    sp = np.sqrt(np.maximum(1.0 - ((t64 + eps) / w) ** 2, 0.0))
+    sm = np.sqrt(np.maximum(1.0 - ((t64 - eps) / w) ** 2, 0.0))
+    fd = (np.i0(beta * sp) - np.i0(beta * sm)) / (2 * eps) / np.i0(beta) * M
+    np.testing.assert_allclose(ref_d[inside], fd[inside], rtol=5e-4,
+                               atol=1e-5)
+    # the f32 jnp implementation against the f64 reference
+    np.testing.assert_allclose(np.asarray(vals), ref_v, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(dvals), ref_d, rtol=2e-4,
+                               atol=2e-3)
+
+
+def test_kb_through_binned_engines(monkeypatch):
+    """kb threads through the plan + Pallas engines (interpret mode) like
+    any other family."""
+    import jax.numpy as jnp
+
+    from torch_nfft_tpu.ops.binned import (
+        _spread_pallas,
+        _spread_xla,
+        build_plan,
+    )
+
+    monkeypatch.setenv("TORCH_NFFT_TPU_KERNEL_PRECISION", "highest")
+    rng = np.random.default_rng(2)
+    n, dim, N, m = 250, 3, 8, 2
+    pos = (rng.random((n, dim), dtype=np.float32) - 0.5)
+    pos /= 4 * np.abs(pos).max()
+    batch = np.zeros((n,), np.int32)
+    plan = build_plan(pos, batch, N=N, m=m, batch_size=1, K=128, window="kb")
+    x = rng.standard_normal((n, 1)).astype(np.float32)
+    g_p = _spread_pallas(plan, jnp.asarray(x), jnp.asarray(pos), 1)
+    g_x = _spread_xla(plan, jnp.asarray(x), jnp.asarray(pos), 1)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_suggest_considers_kb():
+    from torch_nfft_tpu.ops.window import suggest_window_parameters
+
+    p = suggest_window_parameters(1e-4, sigma=1.5)
+    assert p["window"] in ("es", "kb")
+    assert p["predicted_rel_l2"] <= 1e-4
+    # at low sigma + small m the kb model is strictly better than es's, so
+    # a tolerance only kb can meet at m=2 must select kb
+    from torch_nfft_tpu.ops.window import _pipeline_floor, _window_error_model
+
+    floor = _pipeline_floor()
+    e_es = _window_error_model("es", 2, 1.5, floor)
+    e_kb = _window_error_model("kb", 2, 1.5, floor)
+    assert e_kb < e_es

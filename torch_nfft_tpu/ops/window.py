@@ -57,6 +57,7 @@ __all__ = [
     "window_inv_sqrt_b_pi",
     "phi_hat_inv_param",
     "es_beta",
+    "kb_beta",
     "window_value_fn",
     "window_value_and_deriv_fn",
     "phi_hat_inv_np",
@@ -70,7 +71,7 @@ __all__ = [
 
 DEFAULT_SIGMA = 2.0
 DEFAULT_WINDOW = "gaussian"
-WINDOWS = ("gaussian", "es")
+WINDOWS = ("gaussian", "es", "kb")
 
 
 def _check_window(window: str) -> str:
@@ -116,6 +117,55 @@ def es_beta(m: int, sigma: float = DEFAULT_SIGMA) -> float:
     return 0.976 * math.pi * (2 * m + 2) * (1.0 - 1.0 / (2.0 * sigma))
 
 
+def kb_beta(m: int, sigma: float = DEFAULT_SIGMA) -> float:
+    """Shape parameter of the Kaiser-Bessel window (Beatty et al. 2005,
+    the standard gridding choice): pi*sqrt((J*(1-1/(2 sigma)))^2 - 0.8)
+    with support width J = 2m+2 oversampled cells. Nearly the es rate
+    pi*J*(1-1/(2 sigma)) for large J; the -0.8 correction matters at small
+    m / low sigma, where KB's sharper spectral decay is the draw."""
+    J = 2 * m + 2
+    arg = (J * (1.0 - 1.0 / (2.0 * sigma))) ** 2 - 0.8
+    return math.pi * math.sqrt(max(arg, 0.25))
+
+
+def _i0(x):
+    """Modified Bessel I0 for x >= 0, Abramowitz-Stegun 9.8.1/9.8.2
+    rational approximations (|rel err| < 2e-7) — pure vector ops (polys,
+    one exp, one rsqrt, one select), safe inside Pallas kernel bodies."""
+    small = x < 3.75
+    y = jnp.where(small, x / 3.75, 0.0)
+    y = y * y
+    p_small = 1.0 + y * (3.5156229 + y * (3.0899424 + y * (
+        1.2067492 + y * (0.2659732 + y * (0.0360768 + y * 0.0045813)))))
+    ax = jnp.maximum(x, 3.75)  # keep exp/rsqrt finite in the dead branch
+    z = 3.75 / ax
+    p_big = (0.39894228 + z * (0.01328592 + z * (0.00225319 + z * (
+        -0.00157565 + z * (0.00916281 + z * (-0.02057706 + z * (
+            0.02635537 + z * (-0.01647633 + z * 0.00392377))))))))
+    big = jnp.exp(ax) * jax.lax.rsqrt(ax) * p_big
+    return jnp.where(small, p_small, big)
+
+
+def _i1(x):
+    """Modified Bessel I1 for x >= 0 (A&S 9.8.3/9.8.4, |rel err| < 3e-7)."""
+    small = x < 3.75
+    y = jnp.where(small, x / 3.75, 0.0)
+    y = y * y
+    p_small = x * (0.5 + y * (0.87890594 + y * (0.51498869 + y * (
+        0.15084934 + y * (0.02658733 + y * (0.00301532 + y * 0.00032411))))))
+    ax = jnp.maximum(x, 3.75)
+    z = 3.75 / ax
+    inner = 0.02282967 + z * (-0.02895312 + z * (0.01787654 - z * 0.00420059))
+    p_big = 0.39894228 + z * (-0.03988024 + z * (-0.00362018 + z * (
+        0.00163801 + z * (-0.01031555 + z * inner))))
+    big = jnp.exp(ax) * jax.lax.rsqrt(ax) * p_big
+    return jnp.where(small, p_small, big)
+
+
+def _i0_np(x: np.ndarray) -> np.ndarray:
+    return np.i0(x)  # float64 reference (coefficient generation)
+
+
 def window_value_fn(m: int, sigma: float = DEFAULT_SIGMA, window: str = DEFAULT_WINDOW):
     """phi as a jnp-traceable function of the scaled argument t = M*x - cell.
 
@@ -134,8 +184,21 @@ def window_value_fn(m: int, sigma: float = DEFAULT_SIGMA, window: str = DEFAULT_
         return phi
 
     w = m + 1.0
-    beta = es_beta(m, sigma)
     inv_w2 = 1.0 / (w * w)
+
+    if window == "kb":
+        beta = kb_beta(m, sigma)
+        inv_i0b = 1.0 / float(_i0_np(np.float64(beta)))
+
+        def phi_kb(t):
+            s2 = 1.0 - (t * t) * inv_w2
+            inside = s2 > 0.0
+            s = jnp.sqrt(jnp.where(inside, s2, 1.0))  # double-where (below)
+            return jnp.where(inside, _i0(beta * s) * inv_i0b, 0.0)
+
+        return phi_kb
+
+    beta = es_beta(m, sigma)
 
     def phi(t):
         s2 = 1.0 - (t * t) * inv_w2
@@ -170,8 +233,32 @@ def window_value_and_deriv_fn(
         return phi_pair
 
     w = m + 1.0
-    beta = es_beta(m, sigma)
     inv_w2 = 1.0 / (w * w)
+
+    if window == "kb":
+        beta = kb_beta(m, sigma)
+        inv_i0b = 1.0 / float(_i0_np(np.float64(beta)))
+
+        def phi_pair_kb(t):
+            s2 = 1.0 - (t * t) * inv_w2
+            inside = s2 > 0.0
+            s = jnp.sqrt(jnp.where(inside, s2, 1.0))  # double-where
+            bs = beta * s
+            vals = jnp.where(inside, _i0(bs) * inv_i0b, 0.0)
+            # d/dpos I0(beta s)/I0(beta) = M * I1(beta s) * beta * ds/dt,
+            # ds/dt = -t/(w^2 s); window vanishes at the (measure-zero)
+            # support edge, so the clamped 1/s is harmless
+            dvals = jnp.where(
+                inside,
+                (-beta * M * inv_w2) * t / jnp.maximum(s, 1e-6)
+                * _i1(bs) * inv_i0b,
+                0.0,
+            )
+            return vals, dvals
+
+        return phi_pair_kb
+
+    beta = es_beta(m, sigma)
 
     def phi_pair(t):
         s2 = 1.0 - (t * t) * inv_w2
@@ -200,11 +287,17 @@ def phi_hat_inv_np(N: int, m: int, sigma: float = DEFAULT_SIGMA,
     if window == "gaussian":
         return np.exp(k * k * phi_hat_inv_param(N, m, sigma))
     w = m + 1.0
-    beta = es_beta(m, sigma)
     M = sigma * N
     nodes, weights = np.polynomial.legendre.leggauss(300)
+    s = np.sqrt(1.0 - nodes * nodes)
+    if window == "kb":
+        beta = kb_beta(m, sigma)
+        prof = _i0_np(beta * s) / _i0_np(np.float64(beta))
+    else:  # es
+        beta = es_beta(m, sigma)
+        prof = np.exp(beta * (s - 1.0))
     t = nodes * w
-    vals = np.exp(beta * (np.sqrt(1.0 - nodes * nodes) - 1.0)) * (weights * w)
+    vals = prof * (weights * w)
     ph = vals @ np.cos(2.0 * np.pi * np.outer(t, k / M))
     return 1.0 / ph
 
@@ -318,17 +411,36 @@ def window_index_offsets(dim: int, m: int) -> jnp.ndarray:
 _F32_PIPELINE_FLOOR = 4e-5
 
 
+def _pipeline_floor() -> float:
+    """Accuracy floor of the TPU planar pipeline at the active DFT matmul
+    precision (ops/fft.py:matmul_precision). HIGH (default, 3-pass bf16)
+    measured 2-3e-5 rel-L2 flat over N/dim/n (BASELINE.md); HIGHEST
+    (6-pass) buys a tighter floor — provisionally modeled at 1e-5 pending
+    an on-device refit. CPU backends (exact f32) sit near 1e-6."""
+    import os
+
+    name = os.environ.get("TORCH_NFFT_TPU_DFT_PRECISION", "high").lower()
+    if name == "highest":
+        return 1e-5
+    if name == "default":
+        return 5e-3  # single bf16 pass: ~4e-3 measured
+    return _F32_PIPELINE_FLOOR
+
+
 @functools.lru_cache(maxsize=None)
-def _es_error_model(m: int, sigma: float) -> float:
-    """Conservative rel-L2 error model for the es window at (m, sigma):
+def _window_error_model(window: str, m: int, sigma: float,
+                        floor: float) -> float:
+    """Conservative rel-L2 error model at (window, m, sigma):
 
     truncation + TPU matmul floor + deconvolution amplification
 
-    * window truncation ``exp(-r(sigma) * beta)`` with the sigma-dependent
-      rate r = 0.92 * (1 - 1/(2 sigma)) (the measured effective decay rate
-      falls with oversampling: ~0.56-0.72 at sigma=1.25, ~0.74-0.84 at
-      sigma=2);
-    * the flat ~3e-5 TPU HIGH-matmul floor (see ``_F32_PIPELINE_FLOOR``);
+    * window truncation ``exp(-r(sigma) * beta)``; for es the measured
+      effective decay rate is r = 0.92 * (1 - 1/(2 sigma)) (falls with
+      oversampling: ~0.56-0.72 at sigma=1.25, ~0.74-0.84 at sigma=2);
+      for kb, r = 0.17 + 0.7565*(1 - 1/(2 sigma)) — a 0.85x-safety fit of
+      the CPU oracle sweep (kb measures ~2x better than es at m=2 across
+      sigma 1.25-2; see tests/test_window.py kb rows);
+    * the pipeline matmul floor (precision-dependent, ``_pipeline_floor``);
     * a low-oversampling term in the deconvolution's dynamic range
       ``amp = max(phi_hat_inv)/min(phi_hat_inv)``: the rolloff correction
       amplifies f32 rounding, the dominant term below sigma ~1.5 and the
@@ -338,50 +450,70 @@ def _es_error_model(m: int, sigma: float) -> float:
       round-3 CPU-only calibration used ``1e-6 * amp``, which a TPU run
       violates by up to 50x (BASELINE.md table).
     """
-    rate = 0.92 * (1.0 - 1.0 / (2.0 * sigma))
-    trunc = math.exp(-rate * es_beta(m, sigma))
-    v = phi_hat_inv_np(64, m, float(sigma), "es")
+    if window == "kb":
+        rate = 0.17 + 0.7565 * (1.0 - 1.0 / (2.0 * sigma))
+        trunc = math.exp(-rate * kb_beta(m, sigma))
+    else:
+        rate = 0.92 * (1.0 - 1.0 / (2.0 * sigma))
+        trunc = math.exp(-rate * es_beta(m, sigma))
+    v = phi_hat_inv_np(64, m, float(sigma), window)
     amp = float(v.max() / v.min())
-    return trunc + _F32_PIPELINE_FLOOR + 7e-9 * amp**3.2
+    return trunc + floor + 7e-9 * amp**3.2
+
+
+def _es_error_model(m: int, sigma: float) -> float:
+    """Back-compat alias: the es model at the current pipeline floor."""
+    return _window_error_model("es", m, sigma, _pipeline_floor())
 
 
 def suggest_window_parameters(tol: float, sigma: float = DEFAULT_SIGMA) -> dict:
     """Smallest-cost window configuration reaching ``tol`` relative L2 error.
 
-    Chooses the es window (best accuracy per support width) and the smallest
-    cutoff m whose conservative error model meets ``tol`` (see
-    :func:`_es_error_model`: truncation decay + the ~4e-5 TPU HIGH-matmul
-    pipeline floor + a low-sigma deconvolution-amplification term). If no m
-    reaches ``tol`` at this sigma, the most accurate configuration is
-    returned with a ``UserWarning`` naming the model's reachable minimum.
-    Tolerances below the pipeline floor are unreachable on the TPU planar
-    path at ANY sigma (raising sigma only helps against the amplification
-    term); CPU backends (exact-f32 matmuls) measure ~1e-6-class errors with
-    the same parameters.
+    Considers the es and Kaiser-Bessel families (both far better than the
+    reference's truncated Gaussian per support width; kb decays ~2x harder
+    at m=2 and low sigma) and picks the smallest cutoff m whose conservative
+    error model meets ``tol`` (see :func:`_window_error_model`: truncation
+    decay + the precision-dependent TPU matmul pipeline floor + a low-sigma
+    deconvolution-amplification term). Ties at equal m prefer es (cheaper
+    per-window vector ops than kb's Bessel evaluation). If nothing reaches
+    ``tol`` at this sigma, the most accurate configuration is returned with
+    a ``UserWarning`` naming the model's reachable minimum. Tolerances
+    below the pipeline floor are unreachable on the TPU planar path at ANY
+    sigma at the default HIGH DFT precision — set
+    TORCH_NFFT_TPU_DFT_PRECISION=highest for a tighter floor; CPU backends
+    (exact-f32 matmuls) measure ~1e-6-class errors with the same
+    parameters.
 
-    Returns ``{"window": "es", "m": m, "sigma": sigma, "predicted_rel_l2":
+    Returns ``{"window": ..., "m": m, "sigma": sigma, "predicted_rel_l2":
     model_bound}`` — pass into any transform as
     ``nfft_adjoint(x, pos, cutoff=p["m"], window=p["window"])``.
     """
     tol = float(tol)
-    errs = {m: _es_error_model(m, float(sigma)) for m in range(1, 9)}
-    feasible = [m for m, e in errs.items() if e <= tol]
+    floor = _pipeline_floor()
+    errs = {
+        (w, m): _window_error_model(w, m, float(sigma), floor)
+        for m in range(1, 9)
+        for w in ("es", "kb")
+    }
+    feasible = [(m, w) for (w, m), e in errs.items() if e <= tol]
     if feasible:
-        m = min(feasible)
-        return {"window": "es", "m": m, "sigma": sigma,
-                "predicted_rel_l2": errs[m]}
-    best = min(errs, key=errs.get)
+        m, w = min(feasible)  # smallest m; es before kb at equal m
+        return {"window": w, "m": m, "sigma": sigma,
+                "predicted_rel_l2": errs[(w, m)]}
+    best_w, best_m = min(errs, key=errs.get)
     import warnings
 
     warnings.warn(
         f"tol={tol:g} is below the reachable error at sigma={sigma} "
-        f"(error model minimum {errs[best]:.1e} at m={best}); returning the "
-        "most accurate configuration. Raising sigma helps against the "
-        "low-oversampling amplification but not below the ~4e-5 TPU "
-        "HIGH-matmul pipeline floor; CPU backends measure ~1e-6-class "
-        "errors with the same parameters",
+        f"(error model minimum {errs[(best_w, best_m)]:.1e} at "
+        f"window={best_w!r} m={best_m}); returning the most accurate "
+        "configuration. Raising sigma helps against the low-oversampling "
+        f"amplification but not below the ~{floor:.0e} matmul pipeline "
+        "floor at the active DFT precision "
+        "(TORCH_NFFT_TPU_DFT_PRECISION=highest tightens it); CPU backends "
+        "measure ~1e-6-class errors with the same parameters",
         UserWarning,
         stacklevel=2,
     )
-    return {"window": "es", "m": best, "sigma": sigma,
-            "predicted_rel_l2": errs[best]}
+    return {"window": best_w, "m": best_m, "sigma": sigma,
+            "predicted_rel_l2": errs[(best_w, best_m)]}
