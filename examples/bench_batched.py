@@ -106,7 +106,7 @@ def main():
     # columns run one at a time to keep the dense tile array inside the
     # fold budget. Far fewer, bigger pipelines than one-member streaming.
     from torch_nfft_tpu.ops.binned import build_plan_device
-    from torch_nfft_tpu.ops.planar import nfft_adjoint_planar, nfft_forward_planar
+    from torch_nfft_tpu.ops.planar import nfft_adjoint_planar, nfft_pair_planar
 
     Gm = int(os.environ.get("BATCH_GROUP", 8))
     Kf = os.environ.get("BATCH_K")
@@ -122,6 +122,10 @@ def main():
             jnp.asarray(pos_g), jnp.asarray(batch_g), N=N, m=m, sigma=sigma,
             batch_size=Gm, K=Kf, T=T_plan, window=window,
         )
+        if os.environ.get("BATCH_BENES", "0") != "0":
+            # routed Benes permutation masks per group plan (host routing of
+            # the group's rank space + bit upload, like bench.py's upgrade)
+            plan_g = plan_g.with_benes_tables(pos=pos_g, batch=batch_g)
         groups.append((jnp.asarray(pos_g), jnp.asarray(batch_g),
                        jnp.asarray(x_g), plan_g))
     print(f"plans: {time.perf_counter()-t0:.1f}s groups={len(groups)} "
@@ -141,13 +145,11 @@ def main():
         outs = []
         for posj, batchj, xj, plan in groups:
             for c in range(0, C, Cc):
-                yr, yi = nfft_adjoint_planar(
+                # half-spectrum pair: the full two-plane N^3 spectrum never
+                # materializes between the DFTs (ops/planar.py)
+                zr = nfft_pair_planar(
                     xj[:, c : c + Cc], posj, batchj, plan, batch_size=Gm,
                     N=N, m=m, sigma=sigma, window=window,
-                )
-                zr, _ = nfft_forward_planar(
-                    yr, yi, posj, batchj, plan, batch_size=Gm, dim=dim, m=m,
-                    sigma=sigma, real_output=True, window=window,
                 )
                 outs.append(zr)
         if defer:

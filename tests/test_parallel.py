@@ -672,3 +672,52 @@ def test_sharded_plan_window_mismatch_fails_loudly(mesh, rng):
             x, pos, batch, bandwidth=N, cutoff=m, mesh=mesh, batch_size=B,
             plans=plans, sigma=1.5,
         )
+
+
+@pytest.mark.parametrize("transform", ["adjoint", "forward", "fastsum"])
+def test_grid_sharded_pallas_engine_parity(rng, gmesh, monkeypatch, transform):
+    """The fused Pallas engines inside the grid-sharded shard bodies
+    (TORCH_NFFT_TPU_SHARD_PALLAS=1 forces them in interpret mode on the CPU
+    mesh) must match the portable XLA engine exactly (same math, different
+    schedule)."""
+    monkeypatch.setenv("TORCH_NFFT_TPU_KERNEL_PRECISION", "highest")
+    from torch_nfft_tpu.ops.coeffs import gaussian_analytic_coeffs
+    from torch_nfft_tpu.parallel import (
+        build_grid_sharded_layout,
+        nfft_adjoint_grid_sharded,
+        nfft_fastsum_grid_sharded,
+        nfft_forward_grid_sharded,
+    )
+
+    dim, N, m, T = 3, 32, 3, 8
+    n, C = 2500, 2
+    pos = (rng.random((n, dim)) - 0.5).astype(np.float32)
+    pos /= 4 * np.abs(pos).max()
+    x = rng.standard_normal((n, C)).astype(np.float32)
+    P = gmesh.devices.size
+    # K=128 so pallas_supported holds for the per-shard plans
+    lay = build_grid_sharded_layout(pos, n_shards=P, N=N, m=m, T=T, K=128)
+
+    def run():
+        if transform == "adjoint":
+            yr, yi = nfft_adjoint_grid_sharded(x, lay, gmesh)
+            return np.asarray(yr), np.asarray(yi)
+        if transform == "forward":
+            rng2 = np.random.default_rng(3)
+            xr = jnp.asarray(
+                rng2.standard_normal((1,) + (N,) * dim + (C,))
+                .astype(np.float32))
+            xi = jnp.asarray(
+                rng2.standard_normal((1,) + (N,) * dim + (C,))
+                .astype(np.float32))
+            yr, yi = nfft_forward_grid_sharded(xr, xi, lay, gmesh)
+            return np.asarray(yr), np.asarray(yi)
+        coeffs = gaussian_analytic_coeffs(0.35, dim, N)
+        return (np.asarray(nfft_fastsum_grid_sharded(x, coeffs, lay, gmesh)),)
+
+    monkeypatch.setenv("TORCH_NFFT_TPU_SHARD_PALLAS", "1")
+    got = run()
+    monkeypatch.setenv("TORCH_NFFT_TPU_SHARD_PALLAS", "0")
+    ref = run()
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(g, r, rtol=1e-4, atol=1e-4)

@@ -1735,3 +1735,89 @@ def plan_slot_pos_user(plan: BinnedPlan):
     S, K = plan.slot_pt.shape
     return _unslot_values(plan, plan.slot_pos.T.reshape(S * K, plan.dim),
                           plan.n)
+
+
+# ---------------------------------------------------------------------------
+# Local-slab engine hooks for the grid-sharded transforms
+# (parallel/grid_sharded.py): the same fused Pallas engines, but with the
+# dense-tile indexing overridden to the caller's LOCAL slab (tid/NT), and
+# custom VJPs so the sharded transforms stay differentiable (pallas_call has
+# no automatic transpose).
+# ---------------------------------------------------------------------------
+
+
+def _tiles4(plan: BinnedPlan, g, NT: int, C: int):
+    return g.reshape(NT, C, plan.H, plan.H ** (plan.dim - 1)).astype(
+        jnp.float32
+    )
+
+
+def _int_zero_cotangent(a):
+    return np.zeros(a.shape, jax.dtypes.float0)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def dense_tiles_local(NT, plan, x, pos, tid):
+    """(NT, C*H^dim) dense tile array for a LOCAL tile id space: the fused
+    Pallas spread with ``tid``/``NT`` overriding the plan's own dense
+    indexing. Valid rows must stay grouped under ``tid`` (the grid-sharded
+    layouts guarantee it: real rows lie inside the shard's slab)."""
+    return _dense_tiles_pallas(plan, x, pos, 1, tid=tid, NT=NT)
+
+
+def _dense_tiles_local_fwd(NT, plan, x, pos, tid):
+    return dense_tiles_local(NT, plan, x, pos, tid), (plan, x, pos, tid)
+
+
+def _dense_tiles_local_bwd(NT, res, g):
+    from .pallas.contract import _unslot_values
+
+    plan, x, pos, tid = res
+    C = x.shape[1]
+    S, K = plan.slot_pt.shape
+    tiles = _tiles4(plan, g, NT, C)
+    y = _gather_from_dense(plan, tiles, C, tid)  # spread^T = gather
+    dx = _unslot_values(
+        plan, jnp.swapaxes(y, 1, 2).reshape(S * K, C), plan.n
+    ).astype(x.dtype)
+    dpos = _pos_grad_from_tiles(plan, tiles, x, tid).astype(pos.dtype)
+    return (_plan_zero_cotangent(plan), dx, dpos, _int_zero_cotangent(tid))
+
+
+dense_tiles_local.defvjp(_dense_tiles_local_fwd, _dense_tiles_local_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def points_from_tiles_local(NT, plan, tiles_dense, pos, tid):
+    """(n, C) user-order values from a LOCAL dense tile array — the fused
+    Pallas gather with overridden tile indexing (transpose of
+    :func:`dense_tiles_local`)."""
+    from .pallas.contract import _unslot_values
+
+    C = tiles_dense.shape[1]
+    S, K = plan.slot_pt.shape
+    y = _gather_from_dense(plan, tiles_dense, C, tid)
+    return _unslot_values(plan, jnp.swapaxes(y, 1, 2).reshape(S * K, C),
+                          plan.n)
+
+
+def _points_from_tiles_local_fwd(NT, plan, tiles_dense, pos, tid):
+    out = points_from_tiles_local(NT, plan, tiles_dense, pos, tid)
+    return out, (plan, tiles_dense, pos, tid)
+
+
+def _points_from_tiles_local_bwd(NT, res, g):
+    plan, tiles_dense, pos, tid = res
+    C = tiles_dense.shape[1]
+    H = plan.H
+    dt = _dense_tiles_pallas(plan, g, pos, 1, tid=tid, NT=NT)
+    dt = dt.reshape(tiles_dense.shape).astype(tiles_dense.dtype)
+    dpos = _pos_grad_from_tiles(
+        plan, tiles_dense.astype(jnp.float32), g, tid
+    ).astype(pos.dtype)
+    return (_plan_zero_cotangent(plan), dt, dpos, _int_zero_cotangent(tid))
+
+
+points_from_tiles_local.defvjp(
+    _points_from_tiles_local_fwd, _points_from_tiles_local_bwd
+)

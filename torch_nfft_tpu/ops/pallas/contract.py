@@ -108,6 +108,20 @@ def pallas_supported(plan, C: int) -> bool:
     return plan.K <= _KC or plan.K % _KC == 0
 
 
+
+def _out_vma(*arrays):
+    """Union of the inputs' varying-mesh-axes (shard_map vma typing): a
+    pallas_call inside a shard_map body must declare how its outputs vary
+    across mesh axes, and they vary exactly like the data they're computed
+    from. Empty outside shard_map (a no-op)."""
+    vmas = set()
+    for a in arrays:
+        v = getattr(jax.typeof(a), "vma", None)
+        if v:
+            vmas |= set(v)
+    return frozenset(vmas)
+
+
 def _windows_fused(pd, orgs, M, m, H, phi):
     """Per-dim window matrices, each (H, KC): values of every coordinate row
     against its tile cells origin_d + [0, H), evaluated in ONE batch of
@@ -389,7 +403,8 @@ def spread_tiles_dense_pallas(plan, x, pos, *, C, tile_index, NT, x_slot=None):
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((NT, C, H, W2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((NT, C, H, W2), jnp.float32,
+                                       vma=_out_vma(data, zeros)),
         # input index counts the 5 scalar-prefetch operands: 5=data, 6=zeros
         input_output_aliases={6: 0},
         interpret=_interpret(),
@@ -635,7 +650,8 @@ def spread_tiles_pallas(plan, x, pos, *, C):
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((S, C, H, W2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((S, C, H, W2), jnp.float32,
+                                       vma=_out_vma(data)),
         interpret=_interpret(),
     )(plan.row_count, *_origin_args(plan), data)
 
@@ -681,7 +697,8 @@ def gather_points_pallas(plan, tiles, pos, *, C, tile_index=None):
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((S, C, K), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((S, C, K), jnp.float32,
+                                       vma=_out_vma(tiles, data)),
         interpret=_interpret(),
     )(
         plan.row_count,
@@ -838,7 +855,8 @@ def pos_grad_pallas(plan, tiles, w, *, C, tile_index=None, w_slot=None):
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((S, plan.dim, K), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((S, plan.dim, K), jnp.float32,
+                                       vma=_out_vma(tiles, data)),
         interpret=_interpret(),
     )(
         plan.row_count,
@@ -990,7 +1008,8 @@ def spread_tiles_rb_pallas(plan, x, pos, *, C, R, x_slot=None):
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((S_pad, C, H, W2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((S_pad, C, H, W2), jnp.float32,
+                                       vma=_out_vma(data)),
         interpret=_interpret(),
     )(rc, o0, o1, o2, data)
     return out[:S]
@@ -1115,7 +1134,8 @@ def gather_points_rb_pallas(plan, tiles_rows, *, C, R):
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((S_pad, C, K), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((S_pad, C, K), jnp.float32,
+                                       vma=_out_vma(tiles_rows, data)),
         interpret=_interpret(),
     )(rc, o0, o1, o2, tiles_rows, data)
     return out[:S]

@@ -45,6 +45,8 @@ from ..ops.binned import (
     BinnedPlan,
     _dense_tiles_xla,
     _points_from_tiles_xla,
+    dense_tiles_local,
+    points_from_tiles_local,
     build_plan,
     default_tile,
 )
@@ -62,7 +64,13 @@ __all__ = [
     "spectral_forward_pruned_dft_sharded0",
 ]
 
-shard_map = jax.shard_map
+import functools as _functools
+
+# check_vma=False: pallas_call (compiled Mosaic and its interpreter alike)
+# mixes varying shard data with unvarying loop/index machinery, which the
+# strict varying-manual-axes checker rejects; the shapes/specs here are
+# explicit, so the check is not load-bearing.
+shard_map = _functools.partial(jax.shard_map, check_vma=False)
 
 
 # ---------------------------------------------------------------------------
@@ -170,6 +178,42 @@ def build_grid_sharded_layout(
         A0_loc=int(A0_loc),
         window=str(window),
     )
+
+
+def _use_pallas_shard(plan, C: int, dtype) -> bool:
+    """Engine choice inside the shard bodies: the fused Pallas kernels on a
+    real TPU (same rule as ops/binned.py:_use_pallas), the portable XLA
+    engine elsewhere. TORCH_NFFT_TPU_SHARD_PALLAS=1 forces the Pallas route
+    off-TPU (interpret mode — CPU-mesh value-parity tests); =0 forces XLA.
+    """
+    import os
+
+    v = os.environ.get("TORCH_NFFT_TPU_SHARD_PALLAS", "auto")
+    if v == "0":
+        return False
+    if jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
+        return False
+    from ..ops.pallas.contract import pallas_supported
+
+    if not pallas_supported(plan, C):
+        return False
+    if v == "1":
+        return True
+    import jax as _jax
+
+    return _jax.default_backend() == "tpu"
+
+
+def _spread_tiles_local(plan, x, pos, tid, NT: int):
+    if _use_pallas_shard(plan, x.shape[1], x.dtype):
+        return dense_tiles_local(NT, plan, x, pos, tid)
+    return _dense_tiles_xla(plan, x, pos, 1, tid=tid, NT=NT)
+
+
+def _gather_points_local(plan, tiles, pos, tid, NT: int):
+    if _use_pallas_shard(plan, tiles.shape[1], tiles.dtype):
+        return points_from_tiles_local(NT, plan, tiles, pos, tid)
+    return _points_from_tiles_xla(plan, tiles, pos, tid=tid)
 
 
 def _local_tile_ids(plan: BinnedPlan, A0_loc: int, shard_idx):
@@ -426,8 +470,8 @@ def nfft_adjoint_grid_sharded(
         tid = _local_tile_ids(plan, lay.A0_loc, idx)
         nb = M // lay.T
         NT = lay.A0_loc * nb ** (dim - 1)
-        tiles = _dense_tiles_xla(
-            plan, xs_l[0], pos_l[0].astype(jnp.float32), 1, tid=tid, NT=NT
+        tiles = _spread_tiles_local(
+            plan, xs_l[0], pos_l[0].astype(jnp.float32), tid, NT
         )
         g_slab = _fold_dft_slab(tiles, plan, C, lay.A0_loc, axis_name, n_shards)
         yr, yi = spectral_adjoint_pruned_dft_sharded0(
@@ -474,9 +518,10 @@ def nfft_forward_grid_sharded(
                 g[0] if dim == 3 else g, plan, C, lay.A0_loc, axis_name,
                 n_shards,
             )
+            NT_t = tiles.shape[0]
             outs.append(
-                _points_from_tiles_xla(
-                    plan, tiles, pos_l[0].astype(jnp.float32), tid=tid
+                _gather_points_local(
+                    plan, tiles, pos_l[0].astype(jnp.float32), tid, NT_t
                 )
             )
         if real_output:
@@ -536,7 +581,7 @@ def nfft_fastsum_grid_sharded(
         nb = M // lay.T
         NT = lay.A0_loc * nb ** (dim - 1)
         pos32 = pos_l[0].astype(jnp.float32)
-        tiles = _dense_tiles_xla(plan, xs_l[0], pos32, 1, tid=tid, NT=NT)
+        tiles = _spread_tiles_local(plan, xs_l[0], pos32, tid, NT)
         g_slab = _fold_dft_slab(tiles, plan, C, lay.A0_loc, axis_name, n_shards)
         sr, si = spectral_adjoint_pruned_dft_sharded0(
             g_slab, None, dim, N, m, sigma, axis_name, M, window=lay.window
@@ -552,7 +597,7 @@ def nfft_fastsum_grid_sharded(
             gr[0] if dim == 3 else gr, plan, C, lay.A0_loc, axis_name,
             n_shards,
         )
-        y = _points_from_tiles_xla(plan, tiles2, pos32, tid=tid)
+        y = _gather_points_local(plan, tiles2, pos32, tid, tiles2.shape[0])
         return y[None]
 
     fn = shard_map(

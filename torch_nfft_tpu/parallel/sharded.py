@@ -49,6 +49,9 @@ __all__ = [
     "build_sharded_plans",
 ]
 
+# NB: keep check_vma ON here — these transforms are differentiated (the
+# training loop), and with the checker off jax transposes lax.psum to
+# another psum instead of identity, inflating gradients by the axis size.
 shard_map = jax.shard_map
 
 
