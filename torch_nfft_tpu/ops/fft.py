@@ -71,9 +71,22 @@ def _twiddle_np(M1: int, M2: int, sign: int) -> tuple[np.ndarray, np.ndarray]:
 
 def _split(M: int):
     """Factor M = M1*M2 with both factors as close to sqrt(M) (and <= each
-    other) as possible. Returns None when a single direct pass is best."""
+    other) as possible. Returns None when a single direct pass is best.
+
+    TORCH_NFFT_TPU_SPLIT_<M>="M1xM2" overrides the factorization of that M
+    (read at trace time) — the device A/B hook for non-power-of-two sizes
+    (e.g. M=6656=2^9*13, where (64,104) and (52,128) pad differently on the
+    MXU)."""
     if M <= DIRECT_MAX:
         return None
+    import os
+
+    ov = os.environ.get(f"TORCH_NFFT_TPU_SPLIT_{M}")
+    if ov:
+        m1, m2 = (int(v) for v in ov.lower().split("x"))
+        if m1 * m2 != M:
+            raise ValueError(f"TORCH_NFFT_TPU_SPLIT_{M}={ov!r}: {m1}*{m2} != {M}")
+        return m1, m2
     m1 = int(math.isqrt(M))
     while m1 > 1 and M % m1:
         m1 -= 1
