@@ -71,6 +71,17 @@ def kernel_precision() -> str:
     return os.environ.get("TORCH_NFFT_TPU_KERNEL_PRECISION", "highest").lower()
 
 
+
+# Per-mode MXU dot precision inside the kernels. "high" asks Mosaic for the
+# 3-pass bf16 scheme directly (round-3 found it unsupported in-kernel and
+# hand-built high3 instead; re-probed in round 5 since Mosaic grew support).
+_PREC = {
+    "default": jax.lax.Precision.DEFAULT,
+    "bf16kr": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
 def _split_bf16(v):
     """Two-term bf16 decomposition: v ~= hi + lo with both parts bf16 and
     the residual ~2^-18 relative (hi carries 8 mantissa bits, lo the next 8)."""
@@ -243,11 +254,7 @@ def _spread_row_tile(A, xw, H, dim):
         else:
             t2 = _khatri_rao(A[1], A[2] * xw, H)
         a0 = A[0]
-        prec = (
-            jax.lax.Precision.DEFAULT
-            if mode == "default"
-            else jax.lax.Precision.HIGHEST
-        )
+        prec = _PREC.get(mode, jax.lax.Precision.HIGHEST)
     dn = (((1,), (1,)), ((), ()))
     if mode == "high3":
         return _dot_high3(a0, t2, dn)
@@ -472,11 +479,7 @@ def _gather_kernel(
         else:
             B = A[1].astype(jnp.bfloat16) if bf else A[1]
         a0 = A[0]
-        prec = (
-            jax.lax.Precision.DEFAULT
-            if mode in ("bf16kr", "default")
-            else jax.lax.Precision.HIGHEST
-        )
+        prec = _PREC.get(mode, jax.lax.Precision.HIGHEST)
         dn = (((1,), (0,)), ((), ()))
         for c in range(C):
             G = tile_in_ref[0, c]  # (H, H^{dim-1})
@@ -743,11 +746,7 @@ def _pos_grad_kernel(
     n_chunks, KC = _chunks(K)
     mode = kernel_precision()
     bf = mode == "bf16kr"
-    prec = (
-        jax.lax.Precision.DEFAULT
-        if mode in ("bf16kr", "default")
-        else jax.lax.Precision.HIGHEST
-    )
+    prec = _PREC.get(mode, jax.lax.Precision.HIGHEST)
     dn = (((1,), (0,)), ((), ()))
 
     def dot(G, B):
@@ -1048,11 +1047,7 @@ def _gather_rb_kernel(
 
     mode = kernel_precision()
     bf = mode == "bf16kr"
-    prec = (
-        jax.lax.Precision.DEFAULT
-        if mode in ("bf16kr", "default")
-        else jax.lax.Precision.HIGHEST
-    )
+    prec = _PREC.get(mode, jax.lax.Precision.HIGHEST)
     dn = (((1,), (0,)), ((), ()))
     for r in range(R):
         sl = r * K
