@@ -556,7 +556,11 @@ def spectral_forward_half_dft(hr, hi, dim: int, M: int, m: int, sigma: float,
     e^{-2 pi i a.k / M} with X[k] = conj(X[-k]) — EXACTLY the asymmetric
     reference band (core_cuda.cu:405-413): the negative-k0 half folds onto
     the stored half as doubled weights on the trailing interior plus pinned
-    +-N/2 shell corrections (rank-1 broadcasts along the pinned grid axis).
+    +-N/2 shell corrections. Each shell piece runs its own (tiny) k0
+    contraction and joins the output as a rank-1 broadcast in the real
+    plane — the adds fuse into the epilogue of the main contraction
+    instead of forcing extra full passes over the big complex intermediate
+    (material at batched scale, where the intermediate is GBs).
     Returns (gr, None) — the real plane only, which is what a real-output
     gather consumes.
     """
@@ -573,6 +577,33 @@ def spectral_forward_half_dft(hr, hi, dim: int, M: int, m: int, sigma: float,
     u_scale = jnp.asarray(u_scale)
     v_scale = jnp.asarray(v_scale)
 
+    off0, L0 = spec[0]
+    mr, mi = _herm_mats_np(N, M, m, float(sigma), off0, L0, window,
+                           "fwd_main")
+    mr = jnp.asarray(mr)
+    mi = jnp.asarray(mi)
+    er0, ei0 = _herm_mats_np(N, M, m, float(sigma), off0, L0, window,
+                             "fwd_edge")
+    er0 = jnp.asarray(er0)
+    ei0 = jnp.asarray(ei0)
+
+    def k0_real(Xr, Xi):
+        """Weighted k0 contraction, real part: (..., S0) -> (..., L0)."""
+        out = _axis_contract(Xr[..., 1:], mr, Xr.ndim - 1)
+        out = out - _axis_contract(Xi[..., 1:], mi, Xi.ndim - 1)
+        return out + (Xr[..., 0:1] * er0 - Xi[..., 0:1] * ei0)
+
+    def k0_complex(Xr, Xi):
+        """Weighted k0 contraction, both planes (pinned shell pieces —
+        their +-N/2 phase multiplies after)."""
+        rr = (_axis_contract(Xr[..., 1:], mr, Xr.ndim - 1)
+              - _axis_contract(Xi[..., 1:], mi, Xi.ndim - 1)
+              + Xr[..., 0:1] * er0 - Xi[..., 0:1] * ei0)
+        ri = (_axis_contract(Xr[..., 1:], mi, Xr.ndim - 1)
+              + _axis_contract(Xi[..., 1:], mr, Xi.ndim - 1)
+              + Xr[..., 0:1] * ei0 + Xi[..., 0:1] * er0)
+        return rr, ri
+
     def core_mats(d):
         off, L = spec[d]
         cr, ci = _herm_mats_np(N, M, m, float(sigma), off, L, window,
@@ -586,93 +617,74 @@ def spectral_forward_half_dft(hr, hi, dim: int, M: int, m: int, sigma: float,
         return jnp.asarray(er), jnp.asarray(ei)
 
     if dim == 1:
-        Wr, Wi = hr, hi
-    elif dim == 2:
-        # pinned trailing points BEFORE the bulk contraction
-        s_m = (hr[:, 0] * u_scale, hi[:, 0] * u_scale)      # (B, C, S0)
-        s_p = (hr[:, N] * v_scale, hi[:, N] * v_scale)
+        return k0_real(hr, hi), None
+
+    if dim == 2:
         cr, ci = core_mats(1)
         Wr, Wi = _axis_contract_planar(hr[:, 1:N], hi[:, 1:N], cr, ci, 1)
-        e_mr, e_mi = pin_vecs(1, "fwd_pin_m")
-        e_pr, e_pi = pin_vecs(1, "fwd_pin_p")
-        bc = lambda v: v[None, :, None, None]
-        Wr = (Wr + bc(e_mr) * s_m[0][:, None] - bc(e_mi) * s_m[1][:, None]
-              + bc(e_pr) * s_p[0][:, None] - bc(e_pi) * s_p[1][:, None])
-        Wi = (Wi + bc(e_mr) * s_m[1][:, None] + bc(e_mi) * s_m[0][:, None]
-              + bc(e_pr) * s_p[1][:, None] + bc(e_pi) * s_p[0][:, None])
-    elif dim == 3:
-        # slabs (one trailing axis pinned, the other on the open interior)
-        # and corners (both pinned), collected before the bulk contraction
-        s1m = (hr[:, 0, 1:N], hi[:, 0, 1:N])    # (B, N-1, C, S0)
-        s1p = (hr[:, N, 1:N], hi[:, N, 1:N])
-        s2m = (hr[:, 1:N, 0], hi[:, 1:N, 0])    # (B, N-1, C, S0)
-        s2p = (hr[:, 1:N, N], hi[:, 1:N, N])
-        c_m = (hr[:, 0, 0] * u_scale, hi[:, 0, 0] * u_scale)   # (B, C, S0)
-        c_p = (hr[:, N, N] * v_scale, hi[:, N, N] * v_scale)
+        out = k0_real(Wr, Wi)  # (B, L1, C, L0)
+        for idx, scale, kind in ((0, u_scale, "fwd_pin_m"),
+                                 (N, v_scale, "fwd_pin_p")):
+            pr, pi = k0_complex(hr[:, idx] * scale, hi[:, idx] * scale)
+            er, ei = pin_vecs(1, kind)  # (L1,)
+            out = out + (er[None, :, None, None] * pr[:, None]
+                         - ei[None, :, None, None] * pi[:, None])
+        return out, None
 
-        cr1, ci1 = core_mats(1)
-        cr2, ci2 = core_mats(2)
-        Wr, Wi = _axis_contract_planar(hr[:, 1:N, 1:N], hi[:, 1:N, 1:N],
-                                       cr1, ci1, 1)
-        Wr, Wi = _axis_contract_planar(Wr, Wi, cr2, ci2, 2)  # (B,L1,L2,C,S0)
-
-        # slab with axis 1 pinned: contract its interior axis 2, scale, then
-        # broadcast the pinned-axis phase along a1
-        def slab(s, scale, other_mats, pin, axis):
-            sr, si = s
-            sr, si = _axis_contract_planar(sr * scale, si * scale,
-                                           *other_mats, 1)  # (B, L_o, C, S0)
-            er, ei = pin
-            if axis == 1:
-                er = er[None, :, None, None, None]
-                ei = ei[None, :, None, None, None]
-                sr, si = sr[:, None], si[:, None]      # (B, 1, L2, C, S0)
-            else:
-                er = er[None, None, :, None, None]
-                ei = ei[None, None, :, None, None]
-                sr, si = sr[:, :, None], si[:, :, None]  # (B, L1, 1, C, S0)
-            return er * sr - ei * si, er * si + ei * sr
-
-        p1m = pin_vecs(1, "fwd_pin_m")
-        p1p = pin_vecs(1, "fwd_pin_p")
-        p2m = pin_vecs(2, "fwd_pin_m")
-        p2p = pin_vecs(2, "fwd_pin_p")
-        for s, scale, mats, pin, axis in (
-            (s1m, u_scale, (cr2, ci2), p1m, 1),
-            (s1p, v_scale, (cr2, ci2), p1p, 1),
-            (s2m, u_scale, (cr1, ci1), p2m, 2),
-            (s2p, v_scale, (cr1, ci1), p2p, 2),
-        ):
-            dr, di = slab(s, scale, mats, pin, axis)
-            Wr = Wr + dr
-            Wi = Wi + di
-
-        # corners: rank-2 broadcast e1(a1) e2(a2) x (B, C, S0)
-        for (pr_, pi_), pin1, pin2 in ((c_m, p1m, p2m), (c_p, p1p, p2p)):
-            fr = pin1[0][:, None] * pin2[0][None, :] - (
-                pin1[1][:, None] * pin2[1][None, :])           # (L1, L2)
-            fi = pin1[0][:, None] * pin2[1][None, :] + (
-                pin1[1][:, None] * pin2[0][None, :])
-            fr = fr[None, :, :, None, None]
-            fi = fi[None, :, :, None, None]
-            pr_ = pr_[:, None, None]
-            pi_ = pi_[:, None, None]
-            Wr = Wr + fr * pr_ - fi * pi_
-            Wi = Wi + fr * pi_ + fi * pr_
-    else:
+    if dim != 3:
         raise ValueError("dim must be 1, 2 or 3")
 
-    # final k0 -> a0 contraction, real plane only: main 128-aligned block
-    # (band weights folded in) plus the -N/2 edge as a rank-1 update
-    off0, L0 = spec[0]
-    mr, mi = _herm_mats_np(N, M, m, float(sigma), off0, L0, window,
-                           "fwd_main")
-    out = _axis_contract(Wr[..., 1:], jnp.asarray(mr), Wr.ndim - 1)
-    out = out - _axis_contract(Wi[..., 1:], jnp.asarray(mi), Wi.ndim - 1)
-    er, ei = _herm_mats_np(N, M, m, float(sigma), off0, L0, window,
-                           "fwd_edge")
-    out = out + (Wr[..., 0:1] * jnp.asarray(er) -
-                 Wi[..., 0:1] * jnp.asarray(ei))
+    cr1, ci1 = core_mats(1)
+    cr2, ci2 = core_mats(2)
+    Wr, Wi = _axis_contract_planar(hr[:, 1:N, 1:N], hi[:, 1:N, 1:N],
+                                   cr1, ci1, 1)
+    Wr, Wi = _axis_contract_planar(Wr, Wi, cr2, ci2, 2)  # (B,L1,L2,C,S0)
+    out = k0_real(Wr, Wi)  # (B, L1, L2, C, L0)
+
+    # slabs: one trailing axis pinned at -N/2 (weight u) or +N/2 (weight v),
+    # the other on the open interior; contract interior + k0, then join as
+    # a rank-1 broadcast along the pinned grid axis (real plane only)
+    def slab(sr, si, scale, other_mats, pin, axis):
+        sr, si = _axis_contract_planar(sr * scale, si * scale,
+                                       *other_mats, 1)  # (B, L_o, C, S0)
+        pr, pi = k0_complex(sr, si)  # (B, L_o, C, L0)
+        er, ei = pin
+        if axis == 1:
+            er = er[None, :, None, None, None]
+            ei = ei[None, :, None, None, None]
+            pr, pi = pr[:, None], pi[:, None]      # (B, 1, L2, C, L0)
+        else:
+            er = er[None, None, :, None, None]
+            ei = ei[None, None, :, None, None]
+            pr, pi = pr[:, :, None], pi[:, :, None]  # (B, L1, 1, C, L0)
+        return er * pr - ei * pi
+
+    p1m = pin_vecs(1, "fwd_pin_m")
+    p1p = pin_vecs(1, "fwd_pin_p")
+    p2m = pin_vecs(2, "fwd_pin_m")
+    p2p = pin_vecs(2, "fwd_pin_p")
+    out = out + slab(hr[:, 0, 1:N], hi[:, 0, 1:N], u_scale, (cr2, ci2),
+                     p1m, 1)
+    out = out + slab(hr[:, N, 1:N], hi[:, N, 1:N], v_scale, (cr2, ci2),
+                     p1p, 1)
+    out = out + slab(hr[:, 1:N, 0], hi[:, 1:N, 0], u_scale, (cr1, ci1),
+                     p2m, 2)
+    out = out + slab(hr[:, 1:N, N], hi[:, 1:N, N], v_scale, (cr1, ci1),
+                     p2p, 2)
+
+    # corners: both trailing axes pinned — rank-2 broadcast e1(a1) e2(a2)
+    for idx1, idx2, scale, pin1, pin2 in (
+        (0, 0, u_scale, p1m, p2m),
+        (N, N, v_scale, p1p, p2p),
+    ):
+        pr, pi = k0_complex(hr[:, idx1, idx2] * scale,
+                            hi[:, idx1, idx2] * scale)  # (B, C, L0)
+        fr = pin1[0][:, None] * pin2[0][None, :] - (
+            pin1[1][:, None] * pin2[1][None, :])       # (L1, L2)
+        fi = pin1[0][:, None] * pin2[1][None, :] + (
+            pin1[1][:, None] * pin2[0][None, :])
+        out = out + (fr[None, :, :, None, None] * pr[:, None, None]
+                     - fi[None, :, :, None, None] * pi[:, None, None])
     return out, None
 
 
