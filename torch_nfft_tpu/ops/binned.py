@@ -990,6 +990,12 @@ def _row_batch(plan: BinnedPlan, C: int) -> int:
         return 0
     if plan.dim not in (2, 3) or plan.K % 128 or plan.K > 1024:
         return 0
+    if env in ("auto", "") and plan.H**plan.dim > 8192:
+        # big halo tiles (e.g. T=32 m=3: H=39, 59k cells): the row-order
+        # tile expansion/compose the rb route pays dwarfs the per-step
+        # saving — measured a wash at H^3=2197 and the block VMEM budget
+        # would force R<=2 here anyway
+        return 0
     R = 8 if env in ("auto", "") else int(env)
     G = -(-plan.H // 8) * 8
     W2 = plan.H ** (plan.dim - 1)
