@@ -58,7 +58,8 @@ def test_rb_spread_dense_matches(rng, monkeypatch, dim, N, n):
     pos, batch = _points(rng, n, dim, B=2)
     plan = build_plan(pos, batch, N=N, m=2, batch_size=2, K=128)
     assert plan.S_occ is not None
-    assert _row_batch(plan, 2) > 0
+    monkeypatch.setenv("TORCH_NFFT_TPU_ROW_BATCH", "4")
+    assert _row_batch(plan, 2) > 0  # forced; auto gates on halo-tile size
     x = jnp.asarray(rng.standard_normal((n, 2)).astype(np.float32))
 
     on, off = _ab(
