@@ -234,3 +234,87 @@ def test_fastsum_real_hermitian_matches(monkeypatch):
     y0 = nfft_fastsum_real(x2, coeffs, pos, pos, batch, batch,
                            batch_size=1, N=N, m=m)
     assert _rel(y1, y0[:, :2]) < 5e-6
+
+
+def test_pair_planar_gradients(monkeypatch):
+    """jax.grad through nfft_pair_planar (values + positions) matches the
+    gradient of the Hermitian-off composition."""
+    import jax
+
+    from torch_nfft_tpu.ops.planar import (
+        nfft_adjoint_planar,
+        nfft_forward_planar,
+        nfft_pair_planar,
+    )
+
+    rng = np.random.default_rng(21)
+    n, N, m, dim = 200, 16, 3, 2
+    pos = _pointset(rng, n, dim)
+    x = rng.standard_normal((n, 1)).astype(np.float32)
+    batch = jnp.zeros((n,), jnp.int32)
+
+    def loss_pair(x_, p_):
+        return jnp.sum(nfft_pair_planar(x_, p_, batch, batch_size=1, N=N,
+                                        m=m) ** 2)
+
+    gx, gp = jax.grad(loss_pair, argnums=(0, 1))(jnp.asarray(x),
+                                                 jnp.asarray(pos))
+
+    monkeypatch.setenv("TORCH_NFFT_TPU_HERMITIAN", "0")
+
+    def loss_ref(x_, p_):
+        yr, yi = nfft_adjoint_planar(x_, p_, batch, batch_size=1, N=N, m=m)
+        zr, _ = nfft_forward_planar(yr, yi, p_, batch, batch_size=1, dim=dim,
+                                    m=m, real_output=True)
+        return jnp.sum(zr ** 2)
+
+    gx_r, gp_r = jax.grad(loss_ref, argnums=(0, 1))(jnp.asarray(x),
+                                                    jnp.asarray(pos))
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_r),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gp_r),
+                               rtol=1e-3, atol=1e-2)
+
+
+def test_pair_planar_with_plan():
+    """The pair through an explicit binned plan (the benchmark route)."""
+    from torch_nfft_tpu.ops.binned import build_plan
+    from torch_nfft_tpu.ops.planar import nfft_pair_planar
+
+    rng = np.random.default_rng(8)
+    n, N, m, dim = 5000, 16, 2, 3
+    pos = _pointset(rng, n, dim)
+    x = jnp.asarray(rng.standard_normal((n, 2)).astype(np.float32))
+    batch = jnp.zeros((n,), jnp.int32)
+    plan = build_plan(pos, np.zeros((n,), np.int32), N=N, m=m, batch_size=1,
+                      K=128)
+    z_plan = nfft_pair_planar(x, jnp.asarray(pos), batch, plan,
+                              batch_size=1, N=N, m=m)
+    z_auto = nfft_pair_planar(x, jnp.asarray(pos), batch, batch_size=1,
+                              N=N, m=m)
+    # binned vs auto (scatter/matmul) engines accumulate in different
+    # orders; a handful of near-support-edge points land ~2e-3 apart in f32
+    np.testing.assert_allclose(np.asarray(z_plan), np.asarray(z_auto),
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_fastsum_kb_window_vs_trig_oracle():
+    """Fastsum with the kb WINDOW matches the exact trigonometric-kernel
+    oracle (separating NFFT window error from series truncation, the
+    reference's test_fastsum.py pattern)."""
+    from torch_nfft_tpu.ops.coeffs import gaussian_analytic_coeffs
+    from torch_nfft_tpu.ops.ndft import exact_trigonometric_matrix
+    from torch_nfft_tpu.ops.planar import nfft_fastsum_real
+
+    rng = np.random.default_rng(31)
+    n, N, m, dim = 150, 8, 3, 2
+    pos = _pointset(rng, n, dim)
+    batch = jnp.zeros((n,), jnp.int32)
+    coeffs = gaussian_analytic_coeffs(0.35, dim, N)
+    x = jnp.asarray(rng.standard_normal((n, 1)).astype(np.float32))
+    y = nfft_fastsum_real(x, coeffs, jnp.asarray(pos), jnp.asarray(pos),
+                          batch, batch, batch_size=1, N=N, m=m, window="kb")
+    A = exact_trigonometric_matrix(coeffs, jnp.asarray(pos))
+    ref = np.asarray(A @ np.asarray(x))
+    rel = _rel(y, ref)
+    assert rel < 2e-4
